@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a Spark-native query plus (when SQL-expressible) an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Contract (driver correctness gate):
+  *   - column names of the Spark result and the oracle result must match;
+  *   - results must be deterministically ordered (ORDER BY on a unique key
+  *     set in BOTH engines) because the compare hashes values;
+  *   - float aggregates are rounded on both sides — summation order differs
+  *     between engines, so raw doubles would hash-mismatch at the last ulp.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** true → include in the Bench headline set (run at sf0.1). */
+    headline: Boolean = false)
+
+object Queries {
+  lazy val all: Seq[Q] =
+    operators.Relational.queries ++
+      operators.TextOps.queries ++
+      operators.DedupOps.queries ++
+      operators.SimilarityOps.queries ++
+      operators.EventOps.queries ++
+      operators.MultimodalOps.queries ++
+      operators.MapReduceQueries.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build the engine's SparkSession with scale-appropriate
+  * defaults. Local mode is a stand-in for a 1000-executor cluster: shuffle
+  * partitions track cores (not the 200 default), AQE is on so skew/coalesce
+  * re-planning behaves the same way it would at 100 TB.
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+      // rejects by default; read as epoch-nano longs and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

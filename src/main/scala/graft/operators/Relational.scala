@@ -1,0 +1,431 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.8): filters/projections,
+  * joins (inner/semi/anti/outer), aggregations (hash agg, rollup/cube),
+  * windows, sorts/limits/top-k, set ops, scalar/date/string functions.
+  *
+  * The reference (dis-functional-bros/mini-hadoop) expresses all of these
+  * through user map/reduce closures (`lib/mini_hadoop/models/types.ex:10-11`);
+  * here each is a first-class declarative plan so Catalyst gets pushdown,
+  * pruning, join selection and whole-stage codegen.
+  *
+  * Scale notes (100 TB):
+  *   - dimension tables (region/nation/supplier/part/customer at low SF) are
+  *     broadcast explicitly, so the fact-table joins never shuffle the big side;
+  *   - aggregates are partial+final (map-side combine) by construction;
+  *   - top-k uses orderBy+limit → TakeOrderedAndProject (no global sort);
+  *   - every float aggregate is rounded for oracle stability, at the very top
+  *     of the plan so the rounding never blocks pushdown.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  /** l_shipdate etc. are parquet TIMESTAMP_NTZ; a string literal coerces to
+    * the column's own timestamp flavor, so comparisons stay pushdown-able. */
+  private def ts(lit0: String): Column = lit(lit0)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * Ref analog: WordCount's map→group→sum pipeline generalized
+    * (`lib/mini_hadoop/examples/word_count.ex:114-147`). */
+  val q01 = Q("q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q02
+  /** Filter + projection that must reach the parquet scan (PushedFilters /
+    * 3-column ReadSchema). Ref analog: in-mapper filtering (SURVEY §2.2 M4). */
+  val q02 = Q("q02_filter_pushdown",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("2000-01-01") &&
+          col("l_shipdate") < ts("2000-02-01") && col("l_discount") > 0.08)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate <  TIMESTAMP '2000-02-01'
+        AND l_discount > 0.08
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-way join + agg + top-k. customer is the small side →
+    * broadcast; lineitem (the 100 TB fact) never moves for the dim join. */
+  val q03 = Q("q03_shipping_priority",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_date, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS → left-semi join (no join explosion, dedup-free). */
+  val q04 = Q("q04_exists_semi",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style 5-way star join: fact table joins broadcast dims. */
+  val q05 = Q("q05_region_revenue",
+    (s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: pure scan-side predicate → single global aggregate. */
+  val q06 = Q("q06_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q07
+  /** NOT EXISTS → left-anti join. */
+  val q07 = Q("q07_anti_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") < ts("1996-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate < TIMESTAMP '1996-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  // ---------------------------------------------------------------- q08
+  /** Top-3 per group via row_number window (partition-local sort only). */
+  val q08 = Q("q08_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rn")
+    },
+    Some("""
+      SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer) sub
+      WHERE rn <= 3
+      ORDER BY c_nationkey, rn"""))
+
+  // ---------------------------------------------------------------- q09
+  /** Running-total window (rows frame), deterministic order within ties. */
+  val q09 = Q("q09_window_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q10
+  /** Top-k: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    * heaps + driver merge, never a global sort (SURVEY §2.6). */
+  val q10 = Q("q10_topk_customers",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey"))
+        .limit(10),
+    Some("""
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY total_spend DESC, o_custkey
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP hierarchy totals (multi-level aggregate in one pass). */
+  val q11 = Q("q11_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q12
+  /** CUBE over two dimensions (grouping-sets coverage). */
+  val q12 = Q("q12_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             round(avg(o_totalprice), 4) AS avg_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q13
+  /** Set ops: symmetric difference of two customer populations
+    * (EXCEPT ∪ EXCEPT; SURVEY §2.7 — the reference only has union-by-concat). */
+  val q13 = Q("q13_set_ops",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val rich = c.filter(col("c_acctbal") > 6000).select("c_custkey")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      rich.except(building).withColumn("side", lit("rich_only"))
+        .union(building.except(rich).withColumn("side", lit("building_only")))
+        .orderBy("side", "c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, 'rich_only' AS side FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 6000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      SELECT c_custkey, 'building_only' AS side FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 6000)
+      ORDER BY side, c_custkey"""))
+
+  // ---------------------------------------------------------------- q14
+  /** DISTINCT (dedup of the key space — ref §2.4 A5's ETS ordered_set). */
+  val q14 = Q("q14_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q15
+  /** String scalar functions (upper/length/substring/concat/trim). */
+  val q15 = Q("q15_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 4).as("type_prefix"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey, upper(p_brand) AS brand_u,
+             length(p_name) AS name_len,
+             substring(p_type, 1, 4) AS type_prefix,
+             concat_ws('/', p_brand, p_type) AS brand_type
+      FROM part
+      ORDER BY p_partkey"""))
+
+  // ---------------------------------------------------------------- q16
+  /** Date functions: extract year/quarter, aggregate per bucket. */
+  val q16 = Q("q16_date_funcs",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_year", "o_quarter"),
+    Some("""
+      SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY o_year, o_quarter
+      ORDER BY o_year, o_quarter"""))
+
+  // ---------------------------------------------------------------- q17
+  /** CASE WHEN bucketing + aggregate. */
+  val q17 = Q("q17_case_bucket",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("bucket"),
+    Some("""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 150000 THEN 'medium'
+                  ELSE 'large' END AS bucket,
+             count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      FROM orders
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q17-style: per-group average as a join (decorrelated subquery).
+    * At scale the per-part avg side is small → broadcast back. */
+  val q18 = Q("q18_small_quantity_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+      li.join(broadcast(partAvg), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l
+      JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey) p
+        ON l.l_partkey = p.pk
+      WHERE l.l_quantity < p.half_avg_qty"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q19
+  /** Left outer join + count(col) null-skipping semantics. */
+  val q19 = Q("q19_outer_join",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(col("s_suppkey")).as("n_suppliers"),
+          round(coalesce(sum("s_acctbal"), lit(0.0)), 2).as("total_bal"))
+        .orderBy("n_nationkey"),
+    Some("""
+      SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers,
+             round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
+      FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_nationkey, n_name
+      ORDER BY n_nationkey"""))
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}
