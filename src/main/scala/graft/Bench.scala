@@ -26,7 +26,12 @@ object Bench {
     }
 
     set.foreach(runOnce) // warm-up: JIT + codegen + parquet footer caches
-    val results = set.map(q => q.name -> runOnce(q))
+    // Min of 3: the sandboxed filesystem shows erratic multi-second IO
+    // stalls; min is the noise-robust estimator of true query cost.
+    val results = set.map { q =>
+      val runs = (1 to 3).map(_ => runOnce(q)).filter(_ >= 0)
+      q.name -> (if (runs.isEmpty) -1.0 else runs.min)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** The reference's job surface, Spark-native.
+  *
+  * dis-functional-bros/mini-hadoop is a closure engine: a job is two user
+  * functions plus contexts (`lib/mini_hadoop/models/types.ex:6-18`,
+  * `lib/mini_hadoop/models/job_spec.ex:10-20`). This API keeps that shape
+  * but fixes the semantics SURVEY §4.3 flags:
+  *   - input is line-aligned (the reference's byte-aligned blocks cut
+  *     records; its own `split_on_newline: true` mode is the correct one);
+  *   - the reducer is per-key `(K, Iterator[V])` rather than a whole
+  *     `%{key => [values]}` map (§4.3.3) — same power, streamable;
+  *   - failed tasks retry and fail the job (Spark semantics) instead of
+  *     silently completing with partial results (§2.11 "no task retry").
+  *
+  * Value order within a key is nondeterministic, exactly as in the
+  * reference shuffle (`task_result_storage.ex:285-289`): reducers must be
+  * order-insensitive.
+  */
+final case class JobSpec[K, V](
+    name: String,
+    mapper: String => IterableOnce[(K, V)],
+    reducer: (K, Iterator[V]) => IterableOnce[(K, V)],
+    sortOpt: Option[SortOpt] = None)
+
+object JobSpec {
+  /** Context-threading form (M2 arity parity): the reference passes
+    * map/reduce contexts explicitly because its closures cross nodes by
+    * message; Spark closures serialize, so contexts just bind here. */
+  def withContexts[K, V, MC, RC](
+      name: String,
+      mapper: (String, MC) => IterableOnce[(K, V)], mapContext: MC,
+      reducer: (K, Iterator[V], RC) => IterableOnce[(K, V)], reduceContext: RC,
+      sortOpt: Option[SortOpt] = None): JobSpec[K, V] =
+    JobSpec(name,
+      line => mapper(line, mapContext),
+      (k, vs) => reducer(k, vs, reduceContext),
+      sortOpt)
+}
+
+/** Result-sort option (O1): `sort_result_opt :: {:key|:value, :asc|:desc}`
+  * plus the reference's fallback clause (value desc, key asc) —
+  * `lib/mini_hadoop/job/job_runner.ex:314-329`. Our value sorts add a key
+  * tiebreak: the reference relies on stable in-memory sort over an
+  * unstable-order input, which is nondeterministic; ours is documented
+  * deterministic. */
+sealed abstract class SortOpt(val suffix: String)
+object SortOpt {
+  case object KeyAsc extends SortOpt("sorted_by_key_asc")
+  case object KeyDesc extends SortOpt("sorted_by_key_desc")
+  case object ValueAsc extends SortOpt("sorted_by_value_asc")
+  case object ValueDesc extends SortOpt("sorted_by_value_desc")
+  /** The reference's catch-all clause: value desc, key asc. */
+  case object Default extends SortOpt("sorted_by_default")
+}
+
+final case class JobResult(
+    jsonPath: String, txtPath: String, sorted: Boolean, entries: Long)
+
+/** Error taxonomy parity (M3): the reference distinguishes crash / bad
+  * shape / bad return type (`task_executor.ex:151-211`). */
+final class InvalidResultException(msg: String) extends RuntimeException(msg)
+
+object MiniJob {
+
+  /** File-based entry point (§3.1 step 1-4 analog): multiple inputs union
+    * by concatenation, exactly like `fetch_blocks_by_filenames`
+    * (`master_node.ex:92-107`) — `textFile(paths*)` is that union. */
+  def run[K: Encoder, V](spark: SparkSession, spec: JobSpec[K, V],
+      inputPaths: Seq[String], outputDir: String)(
+      implicit kvEnc: Encoder[(K, V)]): JobResult =
+    runOn(spark, spec, spark.read.textFile(inputPaths: _*), outputDir)
+
+  /** The dataflow alone (map → shuffle → reduce → optional sort), without
+    * sinks — usable as a query building block. */
+  def transform[K: Encoder, V](spark: SparkSession, spec: JobSpec[K, V],
+      lines: Dataset[String])(
+      implicit kvEnc: Encoder[(K, V)]): Dataset[(K, V)] = {
+    val mapped = lines.flatMap { line =>
+      val out = spec.mapper(line).iterator.toSeq
+      out.foreach { case (k, _) =>
+        if (k == null) throw new InvalidResultException(
+          s"job '${spec.name}': mapper emitted a null key (invalid_result_format)")
+      }
+      out
+    }
+    val reduced = mapped
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val out = spec.reducer(k, it.map(_._2)).iterator.toSeq
+        out.foreach { case (k2, _) =>
+          if (k2 == null) throw new InvalidResultException(
+            s"job '${spec.name}': reducer emitted a null key (invalid_result_format)")
+        }
+        out
+      }
+
+    // Distributed sort replaces the reference's driver-side in-memory sort
+    // (job_runner.ex:319 "Sorting requires loading all to memory").
+    import org.apache.spark.sql.functions.col
+    spec.sortOpt match {
+      case None                    => reduced
+      case Some(SortOpt.KeyAsc)    => reduced.sort(col("_1").asc, col("_2").asc)
+      case Some(SortOpt.KeyDesc)   => reduced.sort(col("_1").desc, col("_2").desc)
+      case Some(SortOpt.ValueAsc)  => reduced.sort(col("_2").asc, col("_1").asc)
+      case Some(SortOpt.ValueDesc) => reduced.sort(col("_2").desc, col("_1").asc)
+      case Some(SortOpt.Default)   => reduced.sort(col("_2").desc, col("_1").asc)
+    }
+  }
+
+  /** Full job: transform + both single-file sinks (§3.1 step 9 analog). */
+  def runOn[K: Encoder, V](spark: SparkSession, spec: JobSpec[K, V],
+      lines: Dataset[String], outputDir: String)(
+      implicit kvEnc: Encoder[(K, V)]): JobResult = {
+    val sorted = transform(spark, spec, lines)
+    val suffix = spec.sortOpt.map(_.suffix).getOrElse("unsorted")
+    val jsonPath = s"$outputDir/${spec.name}.json"
+    val txtPath = s"$outputDir/${spec.name}_$suffix.txt"
+    new java.io.File(outputDir).mkdirs()
+
+    // Sinks stream via toLocalIterator: single-file formats are inherently
+    // driver-side (S6/S7); entries flow through in 250-row chunks without
+    // materializing the whole result (reference chunk size, job_runner.ex:12).
+    import scala.jdk.CollectionConverters._
+    val n1 = Sinks.writeJsonObject(jsonPath, sorted.toLocalIterator().asScala)
+    val n2 = Sinks.writeTsvWithCount(txtPath, sorted.toLocalIterator().asScala,
+      spec.sortOpt.map(_.suffix.replace('_', ' ')).getOrElse("unsorted"))
+    assert(n1 == n2)
+    JobResult(jsonPath, txtPath, spec.sortOpt.isDefined, n1)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.examples
+
+import graft.core.{JobSpec, SortOpt}
+import java.nio.charset.StandardCharsets
+
+/** WordCount with tokenizer parity to the reference
+  * (`lib/mini_hadoop/examples/word_count.ex:12-147`):
+  *   - downcase, then words = maximal runs of letters / digits / ' / - / _
+  *     (Unicode letters included — the reference's state machine accepts
+  *     `\p{L}` codepoints, word_count.ex:100-110);
+  *   - validity filter (word_count.ex:118-128): "a" and "i" pass, ""
+  *     fails, otherwise UTF-8 byte length ≥ 2 AND contains a letter.
+  */
+object WordCount {
+
+  private val WordRun = "[\\p{L}\\p{N}'_-]+".r
+
+  def validWord(w: String): Boolean =
+    w == "a" || w == "i" ||
+      (w.getBytes(StandardCharsets.UTF_8).length >= 2 && w.exists(_.isLetter))
+
+  def tokenize(text: String): Seq[String] =
+    WordRun.findAllIn(text.toLowerCase).toSeq.filter(validWord)
+
+  /** Per-line mapper + summing reducer. The reference mapper pre-counts
+    * within its 8MB block (word_count.ex:15-18); per-line emission plus
+    * the same reducer yields identical totals. */
+  def spec(sortOpt: Option[SortOpt] = Some(SortOpt.Default)): JobSpec[String, Long] =
+    JobSpec[String, Long](
+      "word_count",
+      line => tokenize(line).map(_ -> 1L),
+      (word, counts) => Iterator.single(word -> counts.sum),
+      sortOpt)
+}

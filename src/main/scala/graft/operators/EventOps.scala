@@ -1,5 +1,139 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (batch form; the same
+  * plans run under Structured Streaming — see graft.streaming).
+  *
+  * The reference has no time/stream concept at all (SURVEY §2.9), so this
+  * whole family is extension surface. Timestamps are parquet NANOS read as
+  * micros (see Tables); every output renders times as strings so the
+  * oracle compare is timezone-representation-proof.
+  *
+  * Scale notes: e01/e03 are single-shuffle hash aggregates on bounded
+  * keys. e02's sessionization is the standard lag→flag→running-sum, all
+  * inside one window partition per user — the shuffle is by user_id, and
+  * skewed power-users are exactly what AQE skew-join/partition-split
+  * handles.
+  */
 object EventOps {
-  val queries: Seq[Q] = Seq()
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "events")
+
+  // ---------------------------------------------------------------- e01
+  /** Hourly tumbling aggregate per event type. */
+  val e01 = Q("e01_hourly_agg",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour_s", "event_type"),
+    Some("""
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_s,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_s, event_type"""))
+
+  // ---------------------------------------------------------------- e02
+  /** Gap-based sessionization (new session after > 30 min idle):
+    * lag → boundary flag → running sum = session index → per-session agg. */
+  val e02 = Q("e02_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(runSum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM t),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s
+      FROM sess
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- e03
+  /** Semi-structured extraction: pull the numeric `k` out of the JSON
+    * props string with a regex (codegen-friendly; no JSON parser UDF). */
+  val e03 = Q("e03_props_extract",
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), round(avg(col("k")), 4).as("avg_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_with_k,
+             round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- e04
+  /** Conversion funnel: users whose first purchase follows their first
+    * signup, with median-free time-to-convert stats (avg, for oracle
+    * stability). */
+  val e04 = Q("e04_funnel",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val firstByType = (t: String, name: String) =>
+        e.filter(col("event_type") === t)
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as(name))
+      val su = firstByType("signup", "su_us")
+      val pu = firstByType("purchase", "pu_us")
+      su.join(pu, Seq("user_id"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_signup_users"),
+          count(when(col("pu_us") > col("su_us"), 1)).as("n_converted"),
+          round(avg(when(col("pu_us") > col("su_us"),
+            (col("pu_us") - col("su_us")) / 1000000.0)), 2).as("avg_convert_sec"))
+    },
+    Some("""
+      WITH su AS (
+        SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      pu AS (
+        SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS pu_us
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT count(*) AS n_signup_users,
+             count(CASE WHEN pu_us > su_us THEN 1 END) AS n_converted,
+             round(avg(CASE WHEN pu_us > su_us THEN (pu_us - su_us) / 1000000.0 END), 2)
+               AS avg_convert_sec
+      FROM su LEFT JOIN pu USING (user_id)"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04)
 }

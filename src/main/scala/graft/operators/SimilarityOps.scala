@@ -1,5 +1,103 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * s01 is brute-force cosine top-k — the correctness baseline. s02 is the
+  * scale path: random-hyperplane LSH bucketing with multi-probe, so each
+  * query only scores vectors in nearby buckets. At 100 TB the bucketed
+  * variant turns an all-pairs shuffle into an equi-join on bucket id
+  * (broadcastable probe side), which is the only shape that survives a
+  * 1000-executor fan-out.
+  *
+  * No reference analog: mini-hadoop has no vector operations; this is part
+  * of the training-data-pipeline extension surface (SURVEY §7.2.7).
+  */
 object SimilarityOps {
-  val queries: Seq[Q] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+
+  private val cosineExpr =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  // ---------------------------------------------------------------- s01
+  /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 5).
+    * broadcast(queries) keeps the big side shuffle-free: the corpus scan
+    * streams once past an in-memory probe table. */
+  val s01 = Q("s01_cosine_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineExpr / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+
+  // ---------------------------------------------------------------- s02
+  /** ANN via random-hyperplane LSH: 6-bit signatures (64 buckets), queries
+    * probe their own bucket plus all hamming-1 neighbors. Approximate by
+    * construction → rows-only driver check; recall vs s01 is asserted in
+    * SimilaritySpec. */
+  val s02 = Q("s02_ann_lsh",
+    (s, dir) => {
+      val planes: Array[Array[Double]] = {
+        val rnd = new scala.util.Random(7)
+        Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+      }
+      def sigCol(vcol: String) = (0 until 6).map { p =>
+        val dot = expr(s"aggregate(zip_with($vcol, array(${planes(p).mkString(",")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+      val e = emb(s, dir).withColumn("bucket", sigCol("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+        // multi-probe: own bucket + 6 hamming-1 buckets
+        .withColumn("bucket", explode(array(
+          col("qb") +: (0 until 6).map(b => col("qb").bitwiseXOR(1 << b)): _*)))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineExpr / (col("qn") * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rn")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(s01, s02)
 }

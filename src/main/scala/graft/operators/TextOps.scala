@@ -1,5 +1,188 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline needs (tokenize/count, quality
+  * scoring, language ID, fingerprinting, n-gram stats).
+  *
+  * Reference analog: the WordCount example is the reference's only text
+  * operator (`lib/mini_hadoop/examples/word_count.ex:12-147` — tokenizer +
+  * per-word count). Everything here generalizes that map→group→agg shape
+  * into declarative plans that keep whole-stage codegen (no Scala UDFs on
+  * the hot path — all `functions._` / higher-order functions).
+  *
+  * Scale notes: every query is a scan → narrow transform → single shuffle
+  * (groupBy/window on a key with bounded cardinality), so it parallelizes
+  * by input split at 100 TB. Word-explode multiplies rows ~55× — the
+  * shuffle carries only (token, 1) style pairs thanks to partial
+  * aggregation, the classic combiner win.
+  */
 object TextOps {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+
+  /** Whitespace tokens with empties dropped (texts are single-spaced,
+    * lower-case; trailing space yields one empty token). */
+  private val tokensExpr: Column =
+    expr("filter(split(text, ' '), x -> x != '')")
+
+  // ---------------------------------------------------------------- t01
+  /** WordCount, declarative: explode → count → top-100. */
+  val t01 = Q("t01_wordcount",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(tokensExpr).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100),
+    Some("""
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 100"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- t02
+  /** Per-document token statistics (token counting for data budgets). */
+  val t02 = Q("t02_token_stats",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(tokensExpr).cast("long").as("n_tokens"),
+          size(array_distinct(tokensExpr)).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars_text"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+             length(text) AS n_chars_text
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t03
+  /** Language ID via marker-token voting (n-gram-heuristic family).
+    * Not SQL-expressible compactly → rows-only driver check; exactness is
+    * covered by TextFunctionsSpec on crafted inputs. */
+  val t03 = Q("t03_langid",
+    (s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("toks", tokensExpr)
+        .withColumn("s_en", size(expr("filter(toks, x -> x in ('the','a','is','of','and'))")))
+        .withColumn("s_de", size(expr("filter(toks, x -> x in ('der','die','das','und','ist'))")))
+        .withColumn("s_es", size(expr("filter(toks, x -> x in ('el','la','de','y','es'))")))
+        .withColumn("s_fr", size(expr("filter(toks, x -> x in ('le','la','de','et','est'))")))
+      scored.select(
+        col("doc_id"),
+        when(col("s_de") > col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") > col("s_en") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_fr") > col("s_en"), "fr")
+          .otherwise("en").as("pred_lang"),
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).cast("long").as("score"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  // ---------------------------------------------------------------- t04
+  /** Quality scoring: length/stopword/alpha ratios combined to one score. */
+  val t04 = Q("t04_quality_score",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", tokensExpr)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
+            col("n_tokens"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("alpha_ratio"), 4).as("alpha_ratio"),
+          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.3 +
+            col("alpha_ratio") * 0.2, 4).as("quality"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             round(n_stop / n_tokens, 4) AS stop_ratio,
+             round(n_alpha / length(text), 4) AS alpha_ratio,
+             round(least(1.0, n_tokens / 50.0) * 0.5 +
+                   (1.0 - n_stop / n_tokens) * 0.3 +
+                   (n_alpha / length(text)) * 0.2, 4) AS quality
+      FROM t
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t05
+  /** Position-weighted rolling-hash fingerprint: order-sensitive, cheap,
+    * and distributable (explode → partial-sum → mod). */
+  val t05 = Q("t05_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(tokensExpr).as(Seq("pos", "word")))
+        .groupBy("doc_id")
+        .agg((sum((col("pos") + 1) *
+          ((ascii(col("word")) * lit(31L) + length(col("word"))) % 1000003)) %
+          1000000007L).as("fp"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(sum(pos1 * ((ascii(word) * 31 + length(word)) % 1000003))
+                  % 1000000007 AS BIGINT) AS fp
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word,
+                   unnest(range(1, len(list_filter(string_split(text,' '), x -> x <> '')) + 1)) AS pos1
+            FROM documents) t
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t06
+  /** Word-bigram frequencies (n-gram statistics) via a lead window. */
+  val t06 = Q("t06_bigrams",
+    (s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(tokensExpr).as(Seq("pos", "word")))
+        .withColumn("next", lead("word", 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(concat_ws(" ", col("word"), col("next")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text,' '), x -> x <> '')) AS word,
+               unnest(range(1, len(list_filter(string_split(text,' '), x -> x <> '')) + 1)) AS pos
+        FROM documents),
+      bi AS (
+        SELECT word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks)
+      SELECT bigram, count(*) AS n
+      FROM bi
+      WHERE bigram IS NOT NULL
+      GROUP BY bigram
+      ORDER BY n DESC, bigram
+      LIMIT 50"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }

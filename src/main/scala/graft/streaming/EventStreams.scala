@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events schema.
+  *
+  * The reference has no streaming at all (SURVEY §2.9) — this is the
+  * green-field extension §7.4 plans: the same event analytics EventOps
+  * runs in batch, expressed as unbounded plans with watermarks, plus a
+  * stateful sessionizer. Batch and stream share semantics: the
+  * EventStreamsSpec asserts the streaming windowed counts equal the batch
+  * groupBy on the same data.
+  *
+  * Scale notes: watermark + append output bounds state; the sessionizer
+  * keys state by user_id so it shards across executors, and its state per
+  * key is O(1) (running aggregates, not buffered events).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, complete: Boolean)
+
+  /** Tumbling-window counts with a watermark for late data. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state (30-minute idle gap):
+    * mirrors EventOps.e02 semantics, but incremental. Emits a session
+    * whenever a gap closes it; the open session stays in state. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[Session]()
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.last_us > gapUs =>
+            closed += Session(userId, s.start_us, s.last_us, s.n, complete = true)
+            cur = Some(SessionState(us, us, 1))
+          case Some(s) =>
+            cur = Some(s.copy(last_us = math.max(s.last_us, us), n = s.n + 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Convenience: stream the events parquet as a file source. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.df(spark, sfDir, "events").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+  }
+}

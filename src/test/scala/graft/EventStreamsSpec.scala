@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming semantics: windowed counts under watermark must equal the
+  * batch groupBy on the same data; the stateful sessionizer must close
+  * sessions across micro-batches. */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming windowed counts match the batch equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0),
+      Event(4, ts(130), 2, "click", 4.0))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.windowedCounts(stream.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_counts")
+      .select("win_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 3) // hours 0, 1, 2
+  }
+
+  test("stateful sessionizer closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+
+    // batch 1: two events 10 min apart (same session)
+    stream.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // still open
+
+    // batch 2: event 60 min later → closes the first session
+    stream.addData(Event(3, ts(70), 7, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val sessions = spark.table("sessions").as[EventStreams.Session].collect()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 7 && s.n_events == 2 && s.complete)
+    assert(s.end_us - s.start_us == 10L * 60 * 1000000)
+  }
+}

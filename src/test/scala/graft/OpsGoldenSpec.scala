@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden checks for the operators the DuckDB oracle can't express
+  * (rows-only in the driver gate): langid, simhash, ANN-LSH, fake-decode.
+  * Runs them against a crafted mini test-data directory with known
+  * near-duplicates and vector clusters. */
+class OpsGoldenSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+
+  /** Crafted tables in the same layout as /root/testdata/sf*. */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-golden").toString
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "srcA", 60L),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "srcA", 60L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog again and often", "en", "srcB", 60L), // near dup of 0
+      (3L, "der hund und die katze sind ist und der garten und der baum", "de", "srcB", 59L),
+      (4L, "completely different words about spark shuffle partitions here", "en", "srcC", 62L),
+      (5L, "el perro y la casa es de la madre y de el padre", "es", "srcC", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    val base = Array.fill(64)(0.1f)
+    def vec(seed: Int, noise: Float): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      base.map(_ + rnd.nextFloat() * noise)
+    }
+    Seq(
+      (0L, vec(1, 0.01f).toSeq, 0),  // cluster A
+      (1L, vec(2, 0.01f).toSeq, 0),  // cluster A (near 0)
+      (2L, Array.fill(64)(-0.1f).toSeq.map(x => x + 0.001f), 1), // far away
+      (3L, vec(3, 0.01f).toSeq, 0),
+      (4L, vec(4, 2.0f).toSeq, 2),
+      (5L, vec(5, 2.0f).toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("d01 exact dedup collapses the identical pair") {
+    val rows = Queries.byName("d01_exact_dedup").build(spark, dir).collect()
+    assert(rows.length == 5) // 6 docs, one exact dup
+    val dup = rows.filter(_.getLong(2) == 2L)
+    assert(dup.length == 1 && dup.head.getLong(1) == 0L) // keeper = min id
+  }
+
+  test("d02 minhash-lsh finds exact and near dups") {
+    val pairs = Queries.byName("d02_minhash_lsh").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical word sets
+    assert(pairs.contains((0L, 2L))) // near dup: jaccard 10/11 ≥ 0.9
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 4L) }) // unrelated
+
+  }
+
+  test("d03 simhash: identical docs at hamming 0") {
+    val rows = Queries.byName("d03_simhash").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val h01 = rows.find(r => r._1 == 0L && r._2 == 1L)
+    assert(h01.exists(_._3 == 0))
+  }
+
+  test("t03 langid votes by marker tokens") {
+    val preds = Queries.byName("t03_langid").build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(3L) == "de")
+    assert(preds(5L) == "es")
+    assert(preds(0L) == "en")
+  }
+
+  test("s01/s02: LSH ANN finds the same-cluster neighbor the brute force finds") {
+    val brute = Queries.byName("s01_cosine_topk").build(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).map(_.getLong(2)).toSeq
+    val ann = Queries.byName("s02_ann_lsh").build(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).map(_.getLong(2)).toSeq
+    assert(brute.head == ann.head) // nearest neighbor agrees
+    assert(ann.toSet.subsetOf(brute.toSet ++ Set(2L, 4L, 5L)))
+  }
+
+  test("m02 fake decode is deterministic and schema-stable") {
+    val rows = Queries.byName("m02_decode_features").build(spark, dir).collect()
+    assert(rows.length == 6)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    // identical payloads → identical features
+    assert(r0.getInt(2) == r1.getInt(2) && r0.getDouble(4) == r1.getDouble(4))
+  }
+}
