@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/dedup hot paths.
+  *
+  * `aggregate(zip_with(a, b, ...), ...)` builds an intermediate array per
+  * row and interprets two lambda closures per element; at 100 TB × 64-d
+  * that is the inner loop of every similarity join. [[CosineSimilarity]]
+  * replaces it with one fused, whole-stage-codegen'd loop (dot product and
+  * both norms in a single pass, same left-to-right summation order, so
+  * results are bit-identical to the HOF formulation and the DuckDB
+  * oracle).
+  *
+  * The reference has no vector ops — this is the §7.2.7 extension surface
+  * where SURVEY §7.3 predicted custom expressions would first pay off.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |}
+        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** Exact Jaccard similarity of two string arrays, treated as sets.
+  * Single hash-set pass instead of array_intersect + array_union (each of
+  * which allocates and re-hashes). Interpreted eval is fine here: the
+  * dedup verify step runs on LSH candidates only, not the full pair space. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sx = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < x.numElements()) { sx.add(x.getUTF8String(i)); i += 1 }
+    val sy = new java.util.HashSet[Any]()
+    i = 0
+    while (i < y.numElements()) { sy.add(y.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = sy.iterator()
+    while (it.hasNext) { if (sx.contains(it.next())) inter += 1 }
+    val union = sx.size() + sy.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_similarity"
+}
+
+/** Column-level API + SQL registration. */
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def jaccard_similarity(a: Column, b: Column): Column =
+    Bridge.column(JaccardSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register as SQL functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_similarity", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+}

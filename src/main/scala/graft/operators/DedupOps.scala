@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.VectorFunctions.{cosine_similarity, jaccard_similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,8 +85,7 @@ object DedupOps {
       val wa = words.select(col("doc_id").as("doc_a"), col("words").as("swa"))
       val wb = words.select(col("doc_id").as("doc_b"), col("words").as("swb"))
       cand.join(wa, "doc_a").join(wb, "doc_b")
-        .withColumn("inter", size(array_intersect(col("swa"), col("swb"))))
-        .withColumn("jac", col("inter") / (size(col("swa")) + size(col("swb")) - col("inter")))
+        .withColumn("jac", jaccard_similarity(col("swa"), col("swb")))
         .filter(col("jac") >= 0.9)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -154,8 +154,7 @@ object DedupOps {
       val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
       val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
       a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-        .withColumn("jac", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+        .withColumn("jac", jaccard_similarity(col("ga"), col("gb")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -187,13 +186,10 @@ object DedupOps {
     (s, dir) => {
       val e = Tables.df(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine",
-          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (col("na") * col("nb")))
+        .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
         .limit(20)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.VectorFunctions.cosine_similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,10 +24,6 @@ object SimilarityOps {
     Tables.df(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-
-  private val cosineExpr =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
   // ---------------------------------------------------------------- s01
   /** Brute-force cosine top-5 neighbors for query vectors (vec_id < 5).
@@ -36,10 +33,10 @@ object SimilarityOps {
     (s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", cosineExpr / (col("qn") * col("nrm")))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
@@ -83,14 +80,14 @@ object SimilarityOps {
       val e = emb(s, dir).withColumn("bucket", sigCol("v"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket").as("qb"))
+          col("bucket").as("qb"))
         // multi-probe: own bucket + 6 hamming-1 buckets
         .withColumn("bucket", explode(array(
           col("qb") +: (0 until 6).map(b => col("qb").bitwiseXOR(1 << b)): _*)))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", cosineExpr / (col("qn") * col("nrm")))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
