@@ -22,6 +22,10 @@ object Session {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects by default; read as epoch-nano longs and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the sandboxed filesystem stalls whole-JVM for >10s at times, which
+      // would kill the default 10s executor heartbeat in local mode
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

@@ -23,7 +23,13 @@ final case class JobSpec[K, V](
     name: String,
     mapper: String => IterableOnce[(K, V)],
     reducer: (K, Iterator[V]) => IterableOnce[(K, V)],
-    sortOpt: Option[SortOpt] = None)
+    sortOpt: Option[SortOpt] = None,
+    /** Optional map-side combine. The reference's WordCount mapper
+      * pre-counts within its 8MB block (word_count.ex:15-18) and its
+      * shuffle store pre-groups per key (A2) — a combiner is the faithful
+      * generalization, and it shrinks the shuffle from one row per
+      * emitted pair to one row per distinct key per partition. */
+    combine: Option[(V, V) => V] = None)
 
 object JobSpec {
   /** Context-threading form (M2 arity parity): the reference passes
@@ -78,13 +84,23 @@ object MiniJob {
   def transform[K: Encoder, V](spark: SparkSession, spec: JobSpec[K, V],
       lines: Dataset[String])(
       implicit kvEnc: Encoder[(K, V)]): Dataset[(K, V)] = {
-    val mapped = lines.flatMap { line =>
+    val flat = lines.flatMap { line =>
       val out = spec.mapper(line).iterator.toSeq
       out.foreach { case (k, _) =>
         if (k == null) throw new InvalidResultException(
           s"job '${spec.name}': mapper emitted a null key (invalid_result_format)")
       }
       out
+    }
+    val mapped = spec.combine match {
+      case None => flat
+      case Some(c) => flat.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[K, V]
+        it.foreach { case (k, v) =>
+          acc.updateWith(k) { case Some(old) => Some(c(old, v)); case None => Some(v) }
+        }
+        acc.iterator
+      }
     }
     val reduced = mapped
       .groupByKey(_._1)

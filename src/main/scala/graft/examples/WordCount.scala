@@ -30,5 +30,6 @@ object WordCount {
       "word_count",
       line => tokenize(line).map(_ -> 1L),
       (word, counts) => Iterator.single(word -> counts.sum),
-      sortOpt)
+      sortOpt,
+      combine = Some(_ + _)) // the reference mapper pre-counts per block
 }

@@ -135,5 +135,48 @@ object EventOps {
                AS avg_convert_sec
       FROM su LEFT JOIN pu USING (user_id)"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04)
+  // ---------------------------------------------------------------- e05
+  /** As-of join: each purchase matched to the user's most recent click at
+    * or before it. Composed from built-ins (SURVEY §7.3 preference (a)):
+    * union both sides, one pass of `last(_, ignoreNulls)` over a
+    * (user, time) window — a single shuffle by user, no range-join
+    * explosion, which is exactly how it scales. Oracle: DuckDB's native
+    * ASOF JOIN. Clicks are deduped to one per (user, ts) so tie semantics
+    * are well-defined in both engines. */
+  val e05 = Q("e05_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"), lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          lit(1).as("kind"))
+      // kind orders click before purchase at equal ts → ts >= semantics
+      val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("matched_click",
+          last(when(col("kind") === 0, col("click_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("matched_click").isNotNull)
+        .select(col("click_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("matched_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             c.click_id AS matched_click
+      FROM purchases p
+      ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05)
 }

@@ -426,6 +426,117 @@ object Relational {
       GROUP BY n_nationkey, n_name
       ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q20
+  /** Exact interpolated percentiles (median / p90) per group. */
+  val q20 = Q("q20_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q21
+  /** LIKE / regex predicates (pattern pushdown where the source supports it). */
+  val q21 = Q("q21_like_filter",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_type").like("%ECONOMY%") ||
+          col("p_name").rlike("^p.*[02468]$"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand"),
+    Some("""
+      SELECT p_brand, count(*) AS n_parts
+      FROM part
+      WHERE p_type LIKE '%ECONOMY%' OR regexp_matches(p_name, '^p.*[02468]$')
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  // ---------------------------------------------------------------- q22
+  /** INTERSECT (completes the set-op family with q13's EXCEPT/UNION). */
+  val q22 = Q("q22_intersect",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 6000).select("c_custkey")
+        .intersect(c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey FROM customer WHERE c_acctbal > 6000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q23
+  /** Array aggregation: deterministic (sorted) collect per group. */
+  val q23 = Q("q23_collect_sorted",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_sort(collect_list("s_name")).as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey"),
+    Some("""
+      SELECT s_nationkey, list(s_name ORDER BY s_name) AS suppliers,
+             count(*) AS n
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""))
+
+  // ---------------------------------------------------------------- q24
+  /** Null-generating expressions + null-aware aggregation (the tables are
+    * null-free, so nulls are introduced with nullif). */
+  val q24 = Q("q24_null_handling",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("disc_or_null", nullif(col("l_discount"), lit(0.0)))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("disc_or_null")).as("n_discounted"),
+          round(avg(col("disc_or_null")), 6).as("avg_nonzero_disc"),
+          round(sum(coalesce(col("disc_or_null"), lit(0.0))), 4).as("sum_disc"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, count(*) AS n_rows,
+             count(nullif(l_discount, 0.0)) AS n_discounted,
+             round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_disc,
+             round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 4) AS sum_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q25
+  /** Pivot (wide aggregation): return-flag columns per linestatus. The
+    * pivot values are declared, so the plan is a single pass of
+    * conditional aggregates — same shape the oracle spells out. */
+  val q25 = Q("q25_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus"),
+    Some("""
+      SELECT l_linestatus,
+             round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+             round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+             round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }
