@@ -12,6 +12,7 @@ object Session {
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions) // native functions for SQL
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

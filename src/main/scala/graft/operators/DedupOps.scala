@@ -58,21 +58,19 @@ object DedupOps {
   val d02 = Q("d02_minhash_lsh",
     (s, dir) => {
       val P = 2147483647L // 2^31-1, prime
-      val rnd = new scala.util.Random(42)
-      val ab = Array.fill(64)((1 + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
-
       val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
       val hashed = words
         .select(col("doc_id"), explode(col("words")).as("w"))
         .withColumn("wh", pmod(xxhash64(col("w")), lit(P)))
-      val minhashAggs = ab.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(lit(a) * col("wh") + lit(b), lit(P))).as(s"h$i")
-      }
-      val sigs = hashed.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      // one single-pass sketch aggregate (graft.functions.MinHashAgg)
+      // instead of 64 separate min() columns
+      val sigs = hashed.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhash_agg(col("wh"), 64, 42L).as("sig"))
       // 16 bands of 4 rows; band key = hash of the 4 signature values
       val bandCols = (0 until 16).map { bnd =>
         struct(lit(bnd).as("band"),
-          xxhash64((bnd * 4 until bnd * 4 + 4).map(i => col(s"h$i")): _*).as("bh"))
+          xxhash64((bnd * 4 until bnd * 4 + 4).map(i =>
+            element_at(col("sig"), i + 1)): _*).as("bh"))
       }
       val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
