@@ -537,6 +537,25 @@ object Relational {
       GROUP BY l_linestatus
       ORDER BY l_linestatus"""))
 
+  // ---------------------------------------------------------------- q26
+  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
+    * percentiles. Sketch internals differ between engines, so there is no
+    * SQL oracle — the rows-only gate applies and ApproxAggSpec bounds the
+    * estimates against exact values instead. At 100 TB these replace
+    * exact distinct counts (full shuffle of the key space) with
+    * constant-size mergeable state. */
+  val q26 = Q("q26_approx_aggs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        .orderBy("l_returnflag"),
+    None)
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26)
 }

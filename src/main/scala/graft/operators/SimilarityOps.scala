@@ -96,5 +96,59 @@ object SimilarityOps {
     },
     None)
 
-  val queries: Seq[Q] = Seq(s01, s02)
+  // ---------------------------------------------------------------- s03
+  /** IVF-style ANN: coarse quantizer from a deterministic driver-side
+    * sample (the RangePartitioner pattern — bounded sample, broadcast
+    * centroids), vectors assigned to their nearest centroid, queries probe
+    * the 2 nearest cells only. The inverted-file shape is what scales:
+    * the corpus is scanned once to build cell assignments, and each query
+    * touches ~2/k of the data. Approximate → rows-only gate; recall vs
+    * s01 is asserted in SimilarityIvfSpec. */
+  val s03 = Q("s03_ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val k = 8
+      // deterministic sample → k centroids (k-means|| style seeding is
+      // overkill at this scale; evenly spaced sample rows are stable)
+      val sample = e.orderBy("vec_id").limit(256).collect()
+      val centroids = (0 until k).map { i =>
+        sample(i * math.max(1, sample.length / k) % sample.length)
+          .getSeq[Double](2).toArray
+      }
+      def nearestCell(vcol: String): org.apache.spark.sql.Column = {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          val d = expr(
+            s"aggregate(zip_with($vcol, array(${c.mkString(",")}), (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+          struct(d.as("d"), lit(i).as("cell"))
+        }
+        least(dists: _*).getField("cell")
+      }
+      val assigned = e.withColumn("cell", nearestCell("v"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      // queries probe their own cell and the runner-up cell
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      val probe2 = {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          val d = expr(
+            s"aggregate(zip_with(qv, array(${c.mkString(",")}), (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+          struct(d.as("d"), lit(i).as("cell"))
+        }
+        array_sort(array(dists: _*)).getItem(1).getField("cell")
+      }
+      val probes = q.withColumn("cell2", probe2)
+        .select(col("query_id"), col("qv"),
+          explode(array(col("cell"), col("cell2"))).as("cell"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rn")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(s01, s02, s03)
 }
