@@ -70,6 +70,53 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Watermark-driven sessionization: like [[sessionize]], but sessions
+    * also close when the event-time watermark passes their gap deadline —
+    * no successor event needed. This is the production shape: state for
+    * idle users is evicted by time, so it cannot grow without bound.
+    * Requires `withWatermark("ts", ...)` on the input. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (it.isEmpty && state.hasTimedOut) {
+        // watermark passed the gap deadline → close and evict
+        val s = state.get
+        state.remove()
+        return Iterator.single(
+          Session(userId, s.start_us, s.last_us, s.n, complete = true))
+      }
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[Session]()
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.last_us > gapUs =>
+            closed += Session(userId, s.start_us, s.last_us, s.n, complete = true)
+            cur = Some(SessionState(us, us, 1))
+          case Some(s) =>
+            cur = Some(s.copy(last_us = math.max(s.last_us, us), n = s.n + 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when event time reaches last_us + gap
+        state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Convenience: stream the events parquet as a file source. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = graft.Tables.df(spark, sfDir, "events").schema

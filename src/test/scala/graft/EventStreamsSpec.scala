@@ -71,4 +71,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s.user_id == 7 && s.n_events == 2 && s.complete)
     assert(s.end_us - s.start_us == 10L * 60 * 1000000)
   }
+
+  test("event-time timeout closes idle sessions via watermark, no successor needed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val withWm = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+    val q = EventStreams.sessionizeWithTimeout(withWm, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_wm").start()
+
+    // batch 1: user 9's only events
+    stream.addData(Event(1, ts(0), 9, "click", 1.0), Event(2, ts(5), 9, "view", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_wm").count() == 0)
+
+    // batch 2: a DIFFERENT user far in the future advances the watermark
+    // past user 9's gap deadline → their session closes by timeout
+    stream.addData(Event(3, ts(600), 11, "click", 1.0))
+    q.processAllAvailable()
+    // timeouts fire on the next trigger after the watermark advances
+    stream.addData(Event(4, ts(601), 11, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val closed = spark.table("sessions_wm").as[EventStreams.Session].collect()
+      .filter(_.user_id == 9)
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.complete)
+  }
 }
