@@ -22,9 +22,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_similarity"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),
       exprs => JaccardSimilarity(exprs(0), exprs(1))))
+    // minhash_agg(hash BIGINT[, numHashes INT[, seed BIGINT]]) — the
+    // sketch-shape args must be literals (they fix the aggregation buffer
+    // size); wrong arity or non-literal args fail at analysis, not with a
+    // silently-ignored argument.
     e.injectFunction((
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
-      exprs => MinHashAgg(exprs.head, 64, 42L).toAggregateExpression()))
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+          x match {
+            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_agg: $what must be an integer literal, got ${other.sql}")
+          }
+        exprs match {
+          case Seq(child) => MinHashAgg(child, 64, 42L).toAggregateExpression()
+          case Seq(child, n) =>
+            MinHashAgg(child, intLit(n, "numHashes"), 42L).toAggregateExpression()
+          case Seq(child, n, s) =>
+            MinHashAgg(child, intLit(n, "numHashes"), intLit(s, "seed").toLong)
+              .toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
+        }
+      }))
   }
 }

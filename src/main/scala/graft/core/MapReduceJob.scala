@@ -34,16 +34,21 @@ final case class JobSpec[K, V](
 object JobSpec {
   /** Context-threading form (M2 arity parity): the reference passes
     * map/reduce contexts explicitly because its closures cross nodes by
-    * message; Spark closures serialize, so contexts just bind here. */
+    * message; Spark closures serialize, so contexts just bind here. The
+    * combiner passes straight through — context jobs (the reference's
+    * PageRank shape, job_spec.ex:10-20) get the same map-side shuffle
+    * shrink as plain jobs. */
   def withContexts[K, V, MC, RC](
       name: String,
       mapper: (String, MC) => IterableOnce[(K, V)], mapContext: MC,
       reducer: (K, Iterator[V], RC) => IterableOnce[(K, V)], reduceContext: RC,
-      sortOpt: Option[SortOpt] = None): JobSpec[K, V] =
+      sortOpt: Option[SortOpt] = None,
+      combine: Option[(V, V) => V] = None): JobSpec[K, V] =
     JobSpec(name,
       line => mapper(line, mapContext),
       (k, vs) => reducer(k, vs, reduceContext),
-      sortOpt)
+      sortOpt,
+      combine)
 }
 
 /** Result-sort option (O1): `sort_result_opt :: {:key|:value, :asc|:desc}`
@@ -65,9 +70,17 @@ object SortOpt {
 final case class JobResult(
     jsonPath: String, txtPath: String, sorted: Boolean, entries: Long)
 
-/** Error taxonomy parity (M3): the reference distinguishes crash / bad
-  * shape / bad return type (`task_executor.ex:151-211`). */
+/** Error taxonomy parity (M3): the reference distinguishes
+  * `:user_function_crashed` / `:invalid_result_format` /
+  * `:unexpected_return_type` (`task_executor.ex:151-211`,
+  * `task_runner.ex:165-194`). Scala's types rule out most bad shapes at
+  * compile time, so the runtime classes map to what can still go wrong:
+  * the user closure throws (crashed), emits a null key (invalid format),
+  * or returns null instead of a collection (unexpected return type). */
 final class InvalidResultException(msg: String) extends RuntimeException(msg)
+final class UserFunctionCrashedException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+final class UnexpectedReturnTypeException(msg: String) extends RuntimeException(msg)
 
 object MiniJob {
 
@@ -85,7 +98,16 @@ object MiniJob {
       lines: Dataset[String])(
       implicit kvEnc: Encoder[(K, V)]): Dataset[(K, V)] = {
     val flat = lines.flatMap { line =>
-      val out = spec.mapper(line).iterator.toSeq
+      val raw =
+        try spec.mapper(line)
+        catch {
+          case e: InvalidResultException => throw e
+          case scala.util.control.NonFatal(e) => throw new UserFunctionCrashedException(
+            s"job '${spec.name}': mapper crashed (user_function_crashed): ${e.getMessage}", e)
+        }
+      if (raw == null) throw new UnexpectedReturnTypeException(
+        s"job '${spec.name}': mapper returned null instead of pairs (unexpected_return_type)")
+      val out = raw.iterator.toSeq
       out.foreach { case (k, _) =>
         if (k == null) throw new InvalidResultException(
           s"job '${spec.name}': mapper emitted a null key (invalid_result_format)")
@@ -105,7 +127,16 @@ object MiniJob {
     val reduced = mapped
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        val out = spec.reducer(k, it.map(_._2)).iterator.toSeq
+        val raw =
+          try spec.reducer(k, it.map(_._2))
+          catch {
+            case e: InvalidResultException => throw e
+            case scala.util.control.NonFatal(e) => throw new UserFunctionCrashedException(
+              s"job '${spec.name}': reducer crashed (user_function_crashed): ${e.getMessage}", e)
+          }
+        if (raw == null) throw new UnexpectedReturnTypeException(
+          s"job '${spec.name}': reducer returned null instead of pairs (unexpected_return_type)")
+        val out = raw.iterator.toSeq
         out.foreach { case (k2, _) =>
           if (k2 == null) throw new InvalidResultException(
             s"job '${spec.name}': reducer emitted a null key (invalid_result_format)")
@@ -136,14 +167,24 @@ object MiniJob {
     val txtPath = s"$outputDir/${spec.name}_$suffix.txt"
     new java.io.File(outputDir).mkdirs()
 
-    // Sinks stream via toLocalIterator: single-file formats are inherently
-    // driver-side (S6/S7); entries flow through in 250-row chunks without
-    // materializing the whole result (reference chunk size, job_runner.ex:12).
+    // ONE streaming pass feeds both sinks (the reference also writes both
+    // files from a single stream, job_runner.ex:224-240): toLocalIterator
+    // computes each partition once and the tee pushes every entry into the
+    // JSON and TSV writers, so the map/shuffle/reduce/sort DAG executes
+    // exactly once and driver memory stays O(1).
     import scala.jdk.CollectionConverters._
-    val n1 = Sinks.writeJsonObject(jsonPath, sorted.toLocalIterator().asScala)
-    val n2 = Sinks.writeTsvWithCount(txtPath, sorted.toLocalIterator().asScala,
-      spec.sortOpt.map(_.suffix.replace('_', ' ')).getOrElse("unsorted"))
-    assert(n1 == n2)
+    val suffixText = spec.sortOpt.map(_.suffix.replace('_', ' ')).getOrElse("unsorted")
+    val json = new Sinks.JsonObjectSink(jsonPath)
+    val tsv: Sinks.KVSink = spec.sortOpt match {
+      case None    => new Sinks.TsvCountSink(txtPath, suffixText)
+      case Some(_) => new Sinks.TsvSortedSink(txtPath, suffixText)
+    }
+    sorted.toLocalIterator().asScala.foreach { case (k, v) =>
+      json.write(k, v); tsv.write(k, v)
+    }
+    val n1 = json.close()
+    val n2 = tsv.close()
+    require(n1 == n2, s"sink entry counts diverged: json=$n1 tsv=$n2")
     JobResult(jsonPath, txtPath, spec.sortOpt.isDefined, n1)
   }
 }

@@ -5,15 +5,17 @@ import java.nio.charset.StandardCharsets
 
 /** WordCount with tokenizer parity to the reference
   * (`lib/mini_hadoop/examples/word_count.ex:12-147`):
-  *   - downcase, then words = maximal runs of letters / digits / ' / - / _
-  *     (Unicode letters included — the reference's state machine accepts
-  *     `\p{L}` codepoints, word_count.ex:100-110);
+  *   - downcase, then words = maximal runs of letters / decimal digits /
+  *     ' / - / _ (Unicode letters included — the reference's state machine
+  *     accepts `\p{L}` codepoints but only DECIMAL digits,
+  *     word_count.ex:100-110, hence `\p{Nd}` not `\p{N}`: Ⅻ and ② are
+  *     separators there, not word characters);
   *   - validity filter (word_count.ex:118-128): "a" and "i" pass, ""
   *     fails, otherwise UTF-8 byte length ≥ 2 AND contains a letter.
   */
 object WordCount {
 
-  private val WordRun = "[\\p{L}\\p{N}'_-]+".r
+  private val WordRun = "[\\p{L}\\p{Nd}'_-]+".r
 
   def validWord(w: String): Boolean =
     w == "a" || w == "i" ||

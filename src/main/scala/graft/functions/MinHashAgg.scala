@@ -37,6 +37,16 @@ case class MinHashAgg(
     Array.fill(numHashes)((1 + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
   }
 
+  /** update() casts the input to Long, so require LongType at analysis
+    * time — a ClassCastException mid-job is the wrong failure mode. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"minhash_agg requires a BIGINT input (e.g. pmod(xxhash64(x), ${P})), " +
+        s"got ${child.dataType.simpleString}")
+  }
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 

@@ -390,13 +390,16 @@ object Relational {
 
   // ---------------------------------------------------------------- q18
   /** TPC-H Q17-style: per-group average as a join (decorrelated subquery).
-    * At scale the per-part avg side is small → broadcast back. */
+    * No broadcast hint on the aggregate side: it has one row per distinct
+    * l_partkey, which is unbounded at scale (billions at 100 TB) — a static
+    * broadcast would OOM the driver. AQE picks broadcast vs shuffle from the
+    * runtime size instead. */
   val q18 = Q("q18_small_quantity_revenue",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
       val partAvg = li.groupBy(col("l_partkey").as("pk"))
         .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
-      li.join(broadcast(partAvg), col("l_partkey") === col("pk"))
+      li.join(partAvg, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("half_avg_qty"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     },
@@ -479,16 +482,18 @@ object Relational {
       ORDER BY c_custkey"""))
 
   // ---------------------------------------------------------------- q23
-  /** Array aggregation: deterministic (sorted) collect per group. */
+  /** Array aggregation: deterministic (sorted) collect per group. The list
+    * is joined to one scalar string so the driver's hash compare (pandas)
+    * can factorize it — an array<string> column is unhashable there. */
   val q23 = Q("q23_collect_sorted",
     (s, dir) =>
       t(s, dir, "supplier")
         .groupBy("s_nationkey")
-        .agg(array_sort(collect_list("s_name")).as("suppliers"),
+        .agg(concat_ws(",", array_sort(collect_list("s_name"))).as("suppliers"),
           count(lit(1)).as("n"))
         .orderBy("s_nationkey"),
     Some("""
-      SELECT s_nationkey, list(s_name ORDER BY s_name) AS suppliers,
+      SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
              count(*) AS n
       FROM supplier
       GROUP BY s_nationkey

@@ -108,9 +108,12 @@ object SimilarityOps {
     (s, dir) => {
       val e = emb(s, dir)
       val k = 8
-      // deterministic sample → k centroids (k-means|| style seeding is
-      // overkill at this scale; evenly spaced sample rows are stable)
-      val sample = e.orderBy("vec_id").limit(256).collect()
+      // deterministic UNBIASED sample → k centroids: ordering by a hash of
+      // the id is a reproducible shuffle, so the 256 rows spread across the
+      // corpus instead of being the 256 lowest ids (which would train all
+      // centroids on one corner of the id space). Bounded driver cost:
+      // TakeOrdered over 256 rows. (k-means|| seeding is overkill here.)
+      val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256).collect()
       val centroids = (0 until k).map { i =>
         sample(i * math.max(1, sample.length / k) % sample.length)
           .getSeq[Double](2).toArray

@@ -70,9 +70,10 @@ object TextOps {
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- t03
-  /** Language ID via marker-token voting (n-gram-heuristic family).
-    * Not SQL-expressible compactly → rows-only driver check; exactness is
-    * covered by TextFunctionsSpec on crafted inputs. */
+  /** Language ID via marker-token voting (n-gram-heuristic family). The
+    * voting is plain filter/CASE logic, so the DuckDB oracle spells out
+    * the identical decision tree; golden tests (OpsGoldenSpec) cover
+    * crafted inputs besides. */
   val t03 = Q("t03_langid",
     (s, dir) => {
       val scored = docs(s, dir)
@@ -90,7 +91,26 @@ object TextOps {
         greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).cast("long").as("score"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('the','a','is','of','and'))) AS s_en,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('der','die','das','und','ist'))) AS s_de,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('el','la','de','y','es'))) AS s_es,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('le','la','de','et','est'))) AS s_fr
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+                  WHEN s_fr > s_en THEN 'fr'
+                  ELSE 'en' END AS pred_lang,
+             CAST(greatest(s_en, s_de, s_es, s_fr) AS BIGINT) AS score
+      FROM t
+      ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- t04
   /** Quality scoring: length/stopword/alpha ratios combined to one score. */

@@ -104,9 +104,20 @@ object EventStreams {
         }
       }
       cur.foreach { s =>
-        state.update(s)
-        // close when event time reaches last_us + gap
-        state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+        // close when event time reaches last_us + gap. flatMapGroupsWithState
+        // does NOT drop late rows, so a batch of events already more than
+        // `gap` behind the watermark would yield a deadline <= watermark,
+        // which Spark rejects (IllegalArgumentException kills the query).
+        // Such a session is already over in event time: emit it now instead
+        // of registering an un-settable timeout.
+        val deadlineMs = s.last_us / 1000L + gapMinutes * 60L * 1000L
+        if (deadlineMs <= state.getCurrentWatermarkMs()) {
+          closed += Session(userId, s.start_us, s.last_us, s.n, complete = true)
+          state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(deadlineMs)
+        }
       }
       closed.iterator
     }
