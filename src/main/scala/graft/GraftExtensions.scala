@@ -14,6 +14,8 @@ import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashAgg}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension (SURVEY §7.3 tier c): the native as-of join
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -178,5 +178,45 @@ object EventOps {
       ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05)
+  // ---------------------------------------------------------------- e06
+  /** The same as-of join as e05, through the NATIVE operator
+    * (graft.plans.AsOfJoin → AsOfJoinStrategy → AsOfJoinExec): custom
+    * LogicalPlan planned by an injected SparkStrategy into a co-partitioned
+    * (key, time)-sorted one-pass merge. Same DuckDB ASOF oracle as e05, so
+    * the driver gate checks the custom physical operator end to end. */
+  val e06 = Q("e06_asof_native",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        // alias right-side columns: fresh attribute ids (both sides derive
+        // from the same scan) and no name collisions in the joined output
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+          col("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.plans.AsOf.join(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user_id",
+          leftTime = "ts", rightTime = "c_ts")
+        .filter(col("click_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id").as("matched_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             c.click_id AS matched_click
+      FROM purchases p
+      ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
 }

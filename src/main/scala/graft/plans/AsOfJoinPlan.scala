@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native as-of join: SURVEY §7.3 tier (c) — a whole-operator extension as
+  * custom LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (graft.GraftExtensions).
+  *
+  * Semantics: for every left row, append the right row with the same key
+  * and the greatest time <= the left row's time (nulls if none) — i.e.
+  * DuckDB `ASOF JOIN ... ON l.key = r.key AND l.time >= r.time`, left-outer
+  * flavor. EventOps.e05 expresses the same thing compositionally
+  * (union + last-over-window); this operator is the dedicated physical
+  * implementation, and e06 checks both against the same DuckDB oracle.
+  *
+  * Scale design: requiredChildDistribution co-partitions both sides by key
+  * (one hash shuffle each, exactly what a shuffle join pays) and
+  * requiredChildOrdering sorts within partitions by (key, time) — then the
+  * merge is a single forward pass per partition holding ONE buffered right
+  * row: no range explosion, no per-key buffering of the right side, state
+  * O(1) regardless of key skew. This is the sort-merge-join shape, with
+  * the inner loop replaced by last-candidate tracking.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsOfJoin to its physical operator. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Co-partition by key: EnsureRequirements inserts compatible hash
+    * exchanges (or reuses existing ones) for both children. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  /** Within-partition (key, time) order on both sides → one-pass merge. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  /** Orderable atomic types only (long/int/string/timestamp/date/double) —
+    * checked when the operator is built (AsOf.join). */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: java.lang.Comparable[Any] @unchecked, y) => x.compareTo(y)
+    case _ => throw new IllegalStateException(
+      s"asof join: unorderable runtime values $a / $b")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyE = BindReferences.bindReference(lk, lOut)
+      val lTimeE = BindReferences.bindReference(lt, lOut)
+      val rKeyE = BindReferences.bindReference(rk, rOut)
+      val rTimeE = BindReferences.bindReference(rt, rOut)
+      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      // One-row lookahead over the right side; `cand` is the latest right
+      // row whose (key, time) is <= the current left (key, time) — the only
+      // state the merge keeps, copied out of the iterator's reused buffer.
+      var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
+      var candRow: InternalRow = null
+      var candKey: Any = null
+
+      lIt.map { lrow =>
+        val lkV = lKeyE.eval(lrow)
+        val ltV = lTimeE.eval(lrow)
+        if (lkV != null && ltV != null) {
+          var scanning = true
+          while (scanning && rHead != null) {
+            val rkV = rKeyE.eval(rHead)
+            val rtV = rTimeE.eval(rHead)
+            if (rkV == null || rtV == null) {
+              rHead = if (rIt.hasNext) rIt.next() else null // null keys never match
+            } else {
+              val c = cmp(rkV, lkV)
+              if (c < 0 || (c == 0 && cmp(rtV, ltV) <= 0)) {
+                if (c == 0) {
+                  candRow = rHead.copy()
+                  candKey = rKeyE.eval(candRow)
+                }
+                rHead = if (rIt.hasNext) rIt.next() else null
+              } else scanning = false
+            }
+          }
+        }
+        val matched = lkV != null && candRow != null && cmp(candKey, lkV) == 0
+        proj(joined(lrow, if (matched) candRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over the native operator. */
+object AsOf {
+
+  private val Orderable = Set("long", "int", "double", "string", "timestamp",
+    "timestamp_ntz", "date", "float", "short", "byte")
+
+  /** `left ASOF JOIN right ON left.keyCol = right.keyCol AND
+    * left.timeCol >= right.timeCol` (left-outer). Column names must be
+    * unique per side; the two sides must not share attribute ids (alias
+    * the right side's columns if both derive from the same scan). */
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val dup = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(dup.isEmpty,
+      s"asof join: sides share attributes ${dup.toSeq.map(_.name).mkString(", ")} — " +
+        "alias one side's columns first")
+    val (lKey, rKey) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lTime, rTime) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(lKey.dataType == rKey.dataType && lTime.dataType == rTime.dataType,
+      s"asof join: key/time types must match across sides, got " +
+        s"${lKey.dataType.simpleString}/${rKey.dataType.simpleString} and " +
+        s"${lTime.dataType.simpleString}/${rTime.dataType.simpleString}")
+    Seq(lKey, lTime).foreach { a =>
+      require(Orderable.contains(a.dataType.typeName),
+        s"asof join: ${a.name} has unorderable type ${a.dataType.simpleString}")
+    }
+    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native as-of join (custom LogicalPlan + SparkStrategy + SparkPlan):
+  * semantics on crafted rows, plan shape, and equivalence with the
+  * compositional window formulation on generated data. */
+class AsOfPlanSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, "q1-10"), (1L, 20L, "q1-20"), (1L, 30L, "q1-30"),
+      (2L, 15L, "q2-15"),
+      (4L, 5L, "q4-5")
+    ).toDF("q_sym", "q_ts", "quote")
+  }
+
+  private def trades = {
+    import spark.implicits._
+    Seq(
+      (1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L),
+      (2L, 14L), (2L, 16L),
+      (3L, 50L)
+    ).toDF("sym", "ts")
+  }
+
+  test("matches the latest right row at or before each left row, nulls when none") {
+    val got = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 5L, null), // before the first quote
+      (1L, 10L, "q1-10"), // tie: <= matches
+      (1L, 25L, "q1-20"),
+      (1L, 99L, "q1-30"),
+      (2L, 14L, null),
+      (2L, 16L, "q2-15"),
+      (3L, 50L, null) // key with no right rows at all
+    ))
+  }
+
+  test("physical plan uses AsOfJoinExec with co-partitioned sorted children") {
+    val df = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+    // TreeNode.nodeName strips the Exec suffix in plan strings
+    // AdaptiveSparkPlanExec wraps the plan, so check the plan string
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"))
+    assert(physical.contains("Exchange hashpartitioning"))
+    assert(physical.contains("Sort ["))
+  }
+
+  test("agrees with the union+window formulation on generated data") {
+    import spark.implicits._
+    // deterministic pseudo-random events: 40 keys, ~25 rows each side
+    val left = (1 to 1000).map { i =>
+      (i.toLong % 40, (i * 2654435761L % 997).abs, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = (1 to 1000).map { i =>
+      ((i * 7L) % 40, (i * 40503L % 1009).abs, i.toLong + 100000)
+    }.toDF("rk", "rt", "rid")
+      // dedup ties so "latest right row" is unique on both formulations
+      .groupBy("rk", "rt").agg(max("rid").as("rid"))
+
+    val native = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select("k", "t", "lid", "rid")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("uk").orderBy("ut", "kind")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val composed = right.select(col("rk").as("uk"), col("rt").as("ut"),
+        col("rid"), lit(0).as("kind"), lit(null).cast("long").as("lid"), lit(null).cast("long").as("t"))
+      .union(left.select(col("k").as("uk"), col("t").as("ut"),
+        lit(null).cast("long").as("rid"), lit(1).as("kind"), col("lid"), col("t")))
+      .withColumn("m", last(when(col("kind") === 0, col("rid")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("uk").as("k"), col("t"), col("lid"), col("m").as("rid"))
+
+    val n = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val c = composed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(n == c)
+    assert(n.size == 1000)
+  }
+
+  test("rejects mismatched types and shared attributes") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "t")
+    val r = Seq(("x", 2L)).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, l, "k", "k", "t", "t") // same plan on both sides
+    }
+  }
+}
