@@ -50,22 +50,57 @@ object PageRank {
       .agg(sum("contrib").as("rank"))
   }
 
-  /** Driver-loop iteration (replaces the reference's manual job-per-
-    * iteration runbook, `lib/mini_hadoop.ex:34-73`). */
-  def run(spark: SparkSession, links: DataFrame, iterations: Int,
-      damping: Double = 0.85, totalPages: Long): DataFrame = {
-    val emptyRanks = spark.createDataFrame(
+  private def emptyRanks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("page",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType))))
-    var ranks = emptyRanks
+
+  /** Driver-loop iteration (replaces the reference's manual job-per-
+    * iteration runbook, `lib/mini_hadoop.ex:34-73`). */
+  def run(spark: SparkSession, links: DataFrame, iterations: Int,
+      damping: Double = 0.85, totalPages: Long): DataFrame = {
+    var ranks = emptyRanks(spark)
     for (i <- 1 to iterations) {
       ranks = iterate(links, ranks, damping, totalPages)
       if (i % 5 == 0) ranks = ranks.localCheckpoint() // bound lineage growth
     }
     ranks
+  }
+
+  /** Result of [[runUntil]]: final ranks, iterations executed, and the
+    * last max-|Δrank| observed (Double.MaxValue if only one iteration ran). */
+  final case class Converged(ranks: DataFrame, iterations: Int, maxDelta: Double)
+
+  /** Convergence-driven iteration: stop when max |rank − prev_rank| < eps
+    * or after `maxIterations`. This is the reference's runbook loop
+    * (`README.md:843-854` — run a job per iteration, diff successive rank
+    * files by hand) made a first-class API. Every iteration is
+    * localCheckpoint-ed because its result is consumed twice (next
+    * iteration + delta check) and lineage must stay bounded; the delta is
+    * one full-outer join + max-agg over the rank table — O(pages), the
+    * same cost class as the iteration itself. */
+  def runUntil(spark: SparkSession, links: DataFrame, eps: Double,
+      maxIterations: Int = 50, damping: Double = 0.85,
+      totalPages: Long): Converged = {
+    var ranks = emptyRanks(spark)
+    var i = 0
+    var delta = Double.MaxValue
+    while (i < maxIterations && delta >= eps) {
+      val next = iterate(links, ranks, damping, totalPages).localCheckpoint()
+      if (i > 0) {
+        delta = next
+          .join(ranks.withColumnRenamed("rank", "prev_rank"), Seq("page"), "full_outer")
+          .agg(max(abs(coalesce(col("rank"), lit(0.0)) -
+            coalesce(col("prev_rank"), lit(0.0)))).as("d"))
+          .head.getDouble(0)
+      }
+      ranks = next
+      i += 1
+    }
+    Converged(ranks, i, delta)
   }
 }

@@ -560,7 +560,106 @@ object Relational {
         .orderBy("l_returnflag"),
     None)
 
+  // ---------------------------------------------------------------- q27
+  /** RANGE window frame: per-customer trailing-30-day spend. The frame is
+    * defined in VALUE space (days), not row counts — peers on the same day
+    * all enter the frame, so the result is deterministic under ties where
+    * a ROWS frame would not be. Ordered by epoch days so the same numeric
+    * RANGE clause runs on both engines. */
+  val q27 = Q("q27_window_range_frame",
+    (s, dir) => {
+      val days = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("spend_30d", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "spend_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q28
+  /** Map-type columns: build a map of named aggregates per group, then
+    * read it back through the map surface (element_at / map_keys /
+    * map_values / aggregate-over-values). The oracle computes the same
+    * scalars directly — the map is Spark-side representation, the VALUES
+    * must agree. */
+  val q28 = Q("q28_map_columns",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .select(col("l_returnflag"),
+          map(lit("sum_qty"), col("sum_qty"),
+            lit("sum_price"), col("sum_price")).as("m"))
+        .select(col("l_returnflag"),
+          element_at(col("m"), "sum_qty").as("qty"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("stat_keys"),
+          round(expr("aggregate(map_values(m), 0D, (acc, x) -> acc + x)"), 2).as("total"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             CAST(2 AS BIGINT) AS n_keys,
+             'sum_qty,sum_price' AS stat_keys,
+             round(round(sum(l_quantity), 2) + round(sum(l_extendedprice), 2), 2) AS total
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q29
+  /** Correlated LATERAL subquery: top-2 suppliers by balance per nation.
+    * Catalyst decorrelates the per-row dependent subquery into a ranked
+    * window join — no per-nation re-execution, one shuffle — which is why
+    * LATERAL is usable at fact-table row counts. */
+  val q29 = Q("q29_lateral_topk",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT n_name, t.s_name, round(t.s_acctbal, 2) AS bal
+        FROM nation,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier
+                 WHERE s_nationkey = n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        ORDER BY n_name, bal DESC, s_name""")
+    },
+    Some("""
+      SELECT n_name, t.s_name, round(t.s_acctbal, 2) AS bal
+      FROM nation,
+      LATERAL (SELECT s_name, s_acctbal FROM supplier
+               WHERE s_nationkey = n_nationkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      ORDER BY n_name, bal DESC, s_name"""))
+
+  // ---------------------------------------------------------------- q30
+  /** LATERAL VIEW explode (the HiveQL generator syntax; the DataFrame
+    * twin is select(explode(...)) as in t01). */
+  val q30 = Q("q30_lateral_view_explode",
+    (s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT word, count(*) AS n
+        FROM part LATERAL VIEW explode(split(p_type, ' ')) w AS word
+        GROUP BY word
+        ORDER BY word""")
+    },
+    Some("""
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part) t
+      GROUP BY word
+      ORDER BY word"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26)
+    q26, q27, q28, q29, q30)
 }

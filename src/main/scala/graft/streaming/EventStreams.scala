@@ -128,6 +128,43 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks in the trailing `windowMinutes`. Both sides carry watermarks
+    * AND the join has a time-range condition — the two facts Spark needs
+    * to evict buffered state: a click older than
+    * `watermark − windowMinutes` can never match a future purchase, so
+    * per-side state is bounded by (rate × window), not by stream length.
+    * That bound is what makes the operator runnable indefinitely at scale. */
+  def clickPurchaseJoin(events: DataFrame,
+      windowMinutes: Long = 30, watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      expr(s"p_user = c_user AND c_ts BETWEEN " +
+        s"p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
+  /** Streaming parquet sink: append-mode exactly-once file output (the
+    * checkpoint + file-manifest commit protocol is what makes re-runs
+    * idempotent — the distributed replacement for the reference's
+    * single-file driver sinks). */
+  def writeParquetStream(df: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Convenience: stream the events parquet as a file source. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = graft.Tables.df(spark, sfDir, "events").schema

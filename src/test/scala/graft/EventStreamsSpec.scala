@@ -101,4 +101,62 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(closed.length == 1)
     assert(closed.head.n_events == 2 && closed.head.complete)
   }
+
+  test("stream-stream click-purchase join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "purchase", 5.0), // joins click 1 (10 min before)
+      Event(3, ts(50), 1, "purchase", 6.0), // nothing within 30 min
+      Event(4, ts(55), 2, "click", 1.0),
+      Event(5, ts(60), 2, "click", 1.0),
+      Event(6, ts(70), 2, "purchase", 7.0), // joins clicks 4 and 5
+      Event(7, ts(80), 3, "purchase", 8.0)) // user with no clicks
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.clickPurchaseJoin(stream.toDF(), windowMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_join").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("cp_join")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (6L, 4L), (6L, 5L)))
+
+    // batch equivalence: the same join on the same static data
+    val want = EventStreams.clickPurchaseJoin(events.toDF(), windowMinutes = 30)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("streaming parquet sink writes exactly the streamed rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val stream = MemoryStream[Event]
+    val q = EventStreams.writeParquetStream(
+      EventStreams.windowedCounts(stream.toDF(), "1 hour", "0 seconds"),
+      s"$dir/out", s"$dir/ckpt")
+
+    stream.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0))
+    q.processAllAvailable()
+    // a much later event advances the watermark so hour-0 finalizes;
+    // one more trigger after that flushes the finalized window
+    stream.addData(Event(3, ts(300), 2, "view", 3.0))
+    q.processAllAvailable()
+    stream.addData(Event(4, ts(301), 2, "view", 3.0))
+    q.processAllAvailable(); q.stop()
+
+    val back = spark.read.parquet(s"$dir/out")
+      .select("win_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(back == Set((ts(0), "click", 2L, 3.0)))
+  }
 }

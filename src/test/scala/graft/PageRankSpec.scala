@@ -52,4 +52,32 @@ class PageRankSpec extends AnyFunSuite {
     // golden: shared/page_rank_iter_1.json has 3.6291493273976587e-6
     assert(math.abs((1 - 0.85) / 41332 - 3.6291493273976587e-6) < 1e-20)
   }
+
+  test("runUntil converges to a fixed point within tolerance") {
+    import spark.implicits._
+    // a strongly connected 4-node graph → ranks converge geometrically
+    val lines = Seq("a\tb c", "b\tc", "c\ta d", "d\ta").toDS()
+    val links = PageRank.parseAdjacency(spark, lines)
+    val eps = 1e-9
+    val res = PageRank.runUntil(spark, links, eps,
+      maxIterations = 200, damping = 0.85, totalPages = 4)
+
+    assert(res.maxDelta < eps)
+    assert(res.iterations > 2 && res.iterations < 200)
+
+    // fixed point: one more iteration moves every rank by < eps
+    val ranks = res.ranks.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val once = PageRank.iterate(links, res.ranks, 0.85, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ranks.foreach { case (p, r) => assert(math.abs(once(p) - r) < eps * 10) }
+  }
+
+  test("runUntil stops at maxIterations when tolerance is unreachable") {
+    import spark.implicits._
+    val lines = Seq("a\tb", "b\ta").toDS()
+    val links = PageRank.parseAdjacency(spark, lines)
+    val res = PageRank.runUntil(spark, links, eps = 0.0, // delta < 0 is impossible
+      maxIterations = 3, damping = 0.85, totalPages = 2)
+    assert(res.iterations == 3)
+  }
 }
