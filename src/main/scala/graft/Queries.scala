@@ -26,6 +26,7 @@ object Queries {
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
       operators.EventOps.queries ++
+      operators.RangeJoinOps.queries ++
       operators.MultimodalOps.queries ++
       operators.MapReduceQueries.queries
 

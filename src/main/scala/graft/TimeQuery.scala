@@ -1,0 +1,22 @@
+package graft
+
+/** Time one catalog query end-to-end through the noop sink (same
+  * measurement discipline as [[Bench]] but for a single query while
+  * iterating). Usage: `tools/run.sh graft.TimeQuery <name> [sfDir] [runs]`. */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: TimeQuery <queryName> [sfDir] [runs]")
+    val q = Queries.byName.getOrElse(args(0),
+      sys.error(s"unknown query '${args(0)}'; have: ${Queries.all.map(_.name).mkString(", ")}"))
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 1
+    val spark = Session.get("graft-timequery")
+    spark.sparkContext.setLogLevel("WARN")
+    (0 until runs).foreach { i =>
+      val t0 = System.nanoTime()
+      q.build(spark, dir).write.mode("overwrite").format("noop").save()
+      println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

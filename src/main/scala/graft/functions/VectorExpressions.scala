@@ -106,6 +106,71 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_similarity"
 }
 
+/** Exact Jaccard similarity of two SORTED `array<long>` sets (ascending,
+  * no duplicates — the caller materializes them once per document with
+  * `array_sort(transform(words, w -> xxhash64(w)))`). A single fused
+  * merge-intersection in whole-stage codegen: no per-row allocation, no
+  * string comparison, no boxing. This is the pair-verify inner loop of the
+  * dedup joins — at 9M candidate pairs the HashSet-based
+  * [[JaccardSimilarity]] costs minutes where this costs seconds, and at
+  * 100 TB the gap is the difference between a feasible verify stage and
+  * an infeasible one. */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_jaccard expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+        |int $nx = $a.numElements(); int $ny = $b.numElements();
+        |int $i = 0; int $j = 0; int $inter = 0;
+        |while ($i < $nx && $j < $ny) {
+        |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+        |  if ($xi == $yj) { $inter++; $i++; $j++; }
+        |  else if ($xi < $yj) { $i++; } else { $j++; }
+        |}
+        |int $union = $nx + $ny - $inter;
+        |${ev.value} = $union == 0 ? 0.0 : (double) $inter / $union;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_long_jaccard"
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -118,11 +183,17 @@ object VectorFunctions {
     Bridge.column(JaccardSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
 
+  def sorted_long_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedLongJaccard(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_similarity", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_jaccard", exprs => SortedLongJaccard(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -83,5 +83,36 @@ object MultimodalOps {
     },
     None)
 
-  val queries: Seq[Q] = Seq(m01, m02)
+  // ---------------------------------------------------------------- m03
+  /** Video frame sampling: one row per sampled frame of each payload.
+    *
+    * The pipeline shape that matters at scale: the sampling schedule
+    * (every 30th frame of a per-payload frame count) is computed entirely
+    * in expression space — `sequence` + `explode` stay inside whole-stage
+    * codegen and the explode multiplies rows AFTER partition pruning, so
+    * a 100 TB video corpus fans out executor-side, never via the driver.
+    * The per-frame decode is where a codec UDF would sit; the stand-in is
+    * md5(payload ‖ frame index), deterministic and engine-independent,
+    * which is what lets a SQL oracle check the full fan-out exactly.
+    * Frame count is derived from payload bytes (fake "duration"): real
+    * metadata would ride in a struct column as in m02. */
+  val m03 = Q("m03_frame_sample",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("n_frames",
+          (length(col("text").cast("binary")) % 240 + 60).cast("int"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(30))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(concat(col("text"), lit(":"), col("frame_idx").cast("string"))
+            .cast("binary")).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx"),
+    Some("""
+      SELECT doc_id, f.frame_idx,
+             md5(text || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_digest
+      FROM documents,
+      LATERAL (SELECT unnest(range(0, octet_length(encode(text)) % 240 + 60, 30)) AS frame_idx) f
+      ORDER BY doc_id, frame_idx"""))
+
+  val queries: Seq[Q] = Seq(m01, m02, m03)
 }

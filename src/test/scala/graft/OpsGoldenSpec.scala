@@ -83,6 +83,51 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(ann.toSet.subsetOf(brute.toSet ++ Set(2L, 4L, 5L)))
   }
 
+  test("connectedComponents labels a chain, a pair, and leaves them separate") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L)).toDF("src", "dst")
+    val got = operators.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("d06 clusters the exact+near dup group under the smallest doc_id") {
+    // docs 0, 1, 2 are mutual near-dups → one cluster rooted at 0
+    val rows = Queries.byName("d06_dedup_clusters").build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("sorted_long_jaccard equals the string-set jaccard on hashed sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 200).map(i => s"tok$i")
+    val rows = (0 until 50).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(20 + rnd.nextInt(60)))
+    }.toDF("id", "words")
+    val pairs = rows.alias("a").join(rows.alias("b"),
+        col("a.id") < col("b.id"))
+      .select(
+        functions.VectorFunctions.jaccard_similarity(col("a.words"), col("b.words")).as("js"),
+        functions.VectorFunctions.sorted_long_jaccard(
+          expr("array_sort(transform(a.words, w -> xxhash64(w)))"),
+          expr("array_sort(transform(b.words, w -> xxhash64(w)))")).as("slj"))
+      .collect()
+    assert(pairs.length == 50 * 49 / 2)
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("d07 prefix-filter join returns exactly the d02 pair set") {
+    val d02 = Queries.byName("d02_minhash_lsh").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d07 = Queries.byName("d07_allpairs_jaccard").build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d07 == d02)
+    assert(d07.nonEmpty) // docs 0/1/2 are near-dups
+  }
+
   test("m02 fake decode is deterministic and schema-stable") {
     val rows = Queries.byName("m02_decode_features").build(spark, dir).collect()
     assert(rows.length == 6)
