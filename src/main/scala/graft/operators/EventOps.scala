@@ -218,5 +218,52 @@ object EventOps {
       ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
+  // ---------------------------------------------------------------- e07
+  /** Time-series gap filling (resample-to-hourly with zero-fill): the
+    * dense hour × event_type grid left-joined to the observed hourly
+    * counts — the "regularize before feature extraction" step of any
+    * time-series pipeline.
+    *
+    * The dense axis is generated with `sequence()` from a broadcast 1-row
+    * (min, max) aggregate — executor-side fan-out, no driver loop, no
+    * collect. Grid size = hours × types is bounded (time-range × small
+    * key set), so the left join broadcasts the grid at any corpus scale
+    * where the grid itself stays small; flip to a shuffle join when the
+    * key set is unbounded. */
+  val e07 = Q("e07_gap_fill",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev(s, dir)
+        .agg(date_trunc("hour", min("ts")).as("lo"), date_trunc("hour", max("ts")).as("hi"))
+      val grid = broadcast(bounds)
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(ev(s, dir).select("event_type").distinct())
+      grid.join(hourly, Seq("hour", "event_type"), "left")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_s"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_s", "event_type")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events),
+      grid AS (
+        SELECT g.hour, t.event_type
+        FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) g,
+             (SELECT DISTINCT event_type FROM events) t)
+      SELECT strftime(grid.hour, '%Y-%m-%d %H:%M') AS hour_s,
+             grid.event_type AS event_type, coalesce(hourly.n, 0) AS n
+      FROM grid LEFT JOIN hourly
+        ON grid.hour = hourly.hour AND grid.event_type = hourly.event_type
+      ORDER BY 1, 2"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

@@ -659,7 +659,48 @@ object Relational {
       GROUP BY word
       ORDER BY word"""))
 
+  // ---------------------------------------------------------------- q31
+  /** Deterministic hash sampling: profile a ~1/16 sample of orders chosen
+    * by a digest of the key, not rand(). Hash-gating is the sampling that
+    * scales: it needs no global state, is reproducible across engines and
+    * re-runs (which is also what makes it oracle-checkable — a rand()
+    * sample never is), pushes down to a scan-local filter, and stratifies
+    * for free (the gate applies uniformly within every group). */
+  val q31 = Q("q31_hash_sample",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q32
+  /** Equi-width histogram of l_extendedprice (integer-binned — exact, so
+    * no float-boundary ambiguity between engines). One scan-local bin
+    * expression + one bounded-key aggregate: the shape stays a single
+    * shuffle of (bucket, partial-agg) rows at any scale. */
+  val q32 = Q("q32_histogram",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select((floor(col("l_extendedprice") / 5000) * 5000).cast("long").as("bucket_lo"),
+          col("l_extendedprice"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 2).as("avg_price"))
+        .orderBy("bucket_lo"),
+    Some("""
+      SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bucket_lo,
+             count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+      FROM lineitem
+      GROUP BY bucket_lo
+      ORDER BY bucket_lo"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30)
+    q26, q27, q28, q29, q30, q31, q32)
 }

@@ -153,5 +153,41 @@ object SimilarityOps {
     },
     None)
 
-  val queries: Seq[Q] = Seq(s01, s02, s03)
+  // ---------------------------------------------------------------- s04
+  /** Embedding normalization + int8 quantization — the storage-side
+    * primitive of a vector pipeline (unit-norm turns cosine into dot
+    * product; int8 shrinks a float corpus 4×; both are per-row expression
+    * work that stays scan-local and codegen'd, shuffling nothing).
+    *
+    * All math runs in double on BOTH engines (floats cast up first) so
+    * the IEEE op sequence is identical and the rounded outputs hash-match.
+    * The quantized vector is emitted as one comma-joined string — the
+    * driver's pandas hash-compare cannot factorize an array column
+    * (q23 lesson). */
+  val s04 = Q("s04_normalize_quantize",
+    (s, dir) =>
+      emb(s, dir)
+        .withColumn("norm",
+          sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+        .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
+          concat_ws(",",
+            expr("transform(v, x -> cast(round(x / norm * 127) as int))"))
+            .as("q_int8"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+        FROM d)
+      SELECT vec_id, round(norm, 6) AS l2_norm,
+             array_to_string(list_transform(v,
+               x -> CAST(round(x / norm * 127) AS INTEGER)), ',') AS q_int8
+      FROM n
+      ORDER BY vec_id"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04)
 }

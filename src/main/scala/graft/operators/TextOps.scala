@@ -204,5 +204,51 @@ object TextOps {
       ORDER BY n DESC, bigram
       LIMIT 50"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  // ---------------------------------------------------------------- t07
+  /** TF-IDF weights per (document, term) — the classic relevance /
+    * keyword-extraction primitive of a text pipeline.
+    *
+    * tf = term count / doc length (raw tokens); idf = ln(N / df) with
+    * df = #docs containing the term. N is carried as a broadcast 1-row
+    * aggregate (never a driver-side collect), doc length rides the
+    * groupBy as a window-free second aggregate, and df is one more
+    * bounded-key aggregate — three shuffles total, each on keys whose
+    * cardinality is vocab- or corpus-bounded, so the shape holds at
+    * 100 TB. Output is the full (doc, term) matrix ordered on its unique
+    * key; weights are rounded so the DuckDB oracle's ulp-level ln/division
+    * differences cannot perturb the hash. */
+  val t07 = Q("t07_tfidf",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), explode(tokensExpr).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf_cnt"))
+      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("tf_cnt") / col("doc_len")) *
+            log(col("n_docs") / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf_cnt FROM toks
+        WHERE term <> '' GROUP BY doc_id, term),
+      dlen AS (
+        SELECT doc_id, count(*) AS doc_len FROM toks
+        WHERE term <> '' GROUP BY doc_id),
+      dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.term,
+             round((tf.tf_cnt * 1.0 / dlen.doc_len) *
+                   ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (term), n
+      ORDER BY doc_id, term"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }
