@@ -152,6 +152,28 @@ object EventStreams {
         col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Streaming exact deduplication: emit the first occurrence of each
+    * content digest, dropping repeats that arrive within the watermark
+    * horizon — the streaming counterpart of the batch d01 operator, i.e.
+    * the "don't ingest the same document twice" gate of a continuously
+    * fed training-data pipeline.
+    *
+    * `dropDuplicatesWithinWatermark` keys state by digest and EVICTS each
+    * key once the watermark passes its first-seen event time, so state is
+    * bounded by (ingest rate × watermark horizon) instead of growing with
+    * the all-time distinct count — the property that lets the query run
+    * forever. Exact-once suppression therefore only holds for dupes
+    * closer together than the horizon; a late twin beyond it re-emits,
+    * and the downstream batch d01 pass is the idempotent backstop. */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "text", tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(payloadCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col(idCol), col("content_hash"), col(tsCol))
+
   /** Streaming parquet sink: append-mode exactly-once file output (the
     * checkpoint + file-manifest commit protocol is what makes re-runs
     * idempotent — the distributed replacement for the reference's

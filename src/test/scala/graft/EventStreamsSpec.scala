@@ -159,4 +159,25 @@ class EventStreamsSpec extends AnyFunSuite {
       .toSet
     assert(back == Set((ts(0), "click", 2L, 3.0)))
   }
+
+  test("streaming dedup suppresses same-content docs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.dedupStream(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+
+    // batch 1: doc 2 repeats doc 1's content in the same batch
+    stream.addData((1L, "aaa", ts(0)), (2L, "aaa", ts(5)), (3L, "bbb", ts(6)))
+    q.processAllAvailable()
+    // batch 2: doc 4 repeats "aaa" within the 1h watermark → suppressed;
+    // doc 5 is new content → emitted
+    stream.addData((4L, "aaa", ts(10)), (5L, "ccc", ts(12)))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L))
+  }
 }
