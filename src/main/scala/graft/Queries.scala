@@ -27,6 +27,7 @@ object Queries {
       operators.SimilarityOps.queries ++
       operators.EventOps.queries ++
       operators.RangeJoinOps.queries ++
+      operators.SkewOps.queries ++
       operators.MultimodalOps.queries ++
       operators.MapReduceQueries.queries
 

@@ -189,5 +189,36 @@ object SimilarityOps {
       FROM n
       ORDER BY vec_id"""))
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04)
+  // ---------------------------------------------------------------- s05
+  /** Per-label embedding centroids (mean pooling) — the prototype /
+    * class-representative computation behind centroid classifiers,
+    * cluster seeding, and per-domain embedding drift monitoring.
+    *
+    * Emitted as (label, dim, value) rows, not array columns: positional
+    * explode → one hash aggregate on (label, dim) — a key space of
+    * #labels × 64 regardless of corpus size, so the shuffle carries
+    * partial sums only and the shape is flat at 100 TB. (Array output
+    * would also defeat the driver's hash compare — q23 lesson.) */
+  val s05 = Q("s05_label_centroids",
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg("x"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("centroid"), col("n_vecs"))
+        .orderBy("label", "dim"),
+    Some("""
+      WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings)
+      SELECT label, CAST(dim AS BIGINT) AS dim,
+             round(avg(CAST(x AS DOUBLE)), 6) AS centroid,
+             count(*) AS n_vecs
+      FROM flat
+      GROUP BY label, dim
+      ORDER BY label, dim"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }

@@ -250,5 +250,33 @@ object TextOps {
       FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (term), n
       ORDER BY doc_id, term"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  // ---------------------------------------------------------------- t08
+  /** BPE-style subword token counting: lower-case letter runs, digit
+    * runs, and single punctuation marks as separate tokens (the
+    * pre-tokenization split every byte-pair-encoding tokenizer applies
+    * before merges). Token-budget accounting for an LLM pipeline wants
+    * this, not whitespace counts — "don't." is one whitespace token but
+    * three BPE-ish tokens. The regex is kept to a dialect-portable core
+    * (character classes + alternation) so the DuckDB oracle runs the
+    * byte-identical pattern; per-row extract is scan-local and the only
+    * shuffle is the bounded final ordering. */
+  val t08 = Q("t08_bpe_tokens",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          size(expr("array_distinct(toks)")).cast("long").as("n_distinct"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS n_distinct
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
