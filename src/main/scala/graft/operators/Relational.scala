@@ -700,7 +700,64 @@ object Relational {
       GROUP BY bucket_lo
       ORDER BY bucket_lo"""))
 
+  // ---------------------------------------------------------------- q33
+  /** Ranking-window family completion: ntile, percent_rank, cume_dist
+    * (q08 covers rank/dense_rank/row_number). One window shuffle by
+    * nation; ordering ties broken by key so both engines rank
+    * identically. */
+  val q33 = Q("q33_window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("c_custkey") % 10 === 0)
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      QUALIFY c_custkey % 10 = 0
+      ORDER BY c_nationkey, c_custkey"""))
+
+  // ---------------------------------------------------------------- q34
+  /** Edit-distance fuzzy matching: each nation's nearest other nation by
+    * Levenshtein distance. Native `levenshtein` is exact integer edit
+    * distance — identical across engines, so the oracle is sharp. The
+    * all-pairs shape is fine on a bounded dimension (25×25); fuzzy
+    * matching on unbounded text routes through d07's prefix-filter or
+    * d02's LSH instead. */
+  val q34 = Q("q34_fuzzy_match",
+    (s, dir) => {
+      val a = t(s, dir, "nation").select(col("n_name").as("name_a"))
+      val b = t(s, dir, "nation").select(col("n_name").as("name_b"))
+      a.crossJoin(b).filter(col("name_a") =!= col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .groupBy("name_a")
+        .agg(min(struct(col("dist"), col("name_b"))).as("best"))
+        .select(col("name_a"), col("best.name_b").as("closest"),
+          col("best.dist").cast("long").as("dist"))
+        .orderBy("name_a")
+    },
+    Some("""
+      SELECT name_a, name_b AS closest, CAST(dist AS BIGINT) AS dist
+      FROM (
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS dist,
+               row_number() OVER (PARTITION BY a.n_name
+                                  ORDER BY levenshtein(a.n_name, b.n_name), b.n_name) AS rn
+        FROM nation a JOIN nation b ON a.n_name <> b.n_name)
+      WHERE rn = 1
+      ORDER BY name_a"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }
