@@ -28,6 +28,7 @@ object Queries {
       operators.EventOps.queries ++
       operators.RangeJoinOps.queries ++
       operators.SkewOps.queries ++
+      operators.MergeOps.queries ++
       operators.MultimodalOps.queries ++
       operators.MapReduceQueries.queries
 

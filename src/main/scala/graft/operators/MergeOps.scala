@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-shaped upsert over immutable columnar storage — the dataset
+  * refresh primitive (apply a day's corrections + additions to a 100 TB
+  * snapshot). The reference's storage is whole-file put/get with no
+  * update concept (SURVEY §2.1); lakehouse-style table formats implement
+  * MERGE as exactly this join-and-rewrite, so the operator is the
+  * portable core of that behavior.
+  *
+  * Scale shape: ONE shuffle (full-outer hash join on the key; broadcast
+  * when the update batch is small — the common case). The rewrite is
+  * then a partition-aligned write of only the partitions that changed;
+  * here we return the merged frame and leave placement to the caller.
+  */
+object MergeOps {
+
+  /** `target` rows overridden by same-key `updates` rows; update-only
+    * keys are inserted; all other target rows pass through. Schemas must
+    * match. Update rows win wholesale (including their nulls) — matched
+    * rows are replaced, not patched. */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val cols = target.columns.toSeq
+    t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .select(cols.map(c =>
+        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Upsert demo on orders: every 7th order re-priced +10% (update),
+    * every 97th re-keyed into a new id range (insert), then profiled by
+    * status. The oracle replays the same merge as UNION ALL + anti-key
+    * logic — identical result through a completely different formulation. */
+  val q35 = Q("q35_upsert",
+    (s, dir) => {
+      val orders = Tables.df(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .union(orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      MergeOps.upsert(orders, updates, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH upd AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0),
+      merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+      SELECT o_orderstatus, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM merged
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  val queries: Seq[Q] = Seq(q35)
+}

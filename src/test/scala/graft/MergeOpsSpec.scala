@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.MergeOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+
+  test("upsert replaces matched rows, inserts new keys, keeps the rest") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("k", "v", "x")
+    val got = MergeOps.upsert(target, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0),
+      (9L, "new", 1.0)))
+  }
+
+  test("update rows win wholesale, nulls included") {
+    import spark.implicits._
+    val target = Seq((1L, Some("keep"))).toDF("k", "v")
+    val updates = Seq((1L, None: Option[String])).toDF("k", "v")
+    val got = MergeOps.upsert(target, updates, "k").collect()
+    assert(got.length == 1 && got.head.isNullAt(1))
+  }
+
+  test("mismatched schemas are rejected") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val updates = Seq((1L, "a")).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      MergeOps.upsert(target, updates, "k")
+    }
+  }
+}
