@@ -32,6 +32,11 @@ object DedupOps {
   private val wordsExpr: Column =
     expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
 
+  /** Order-preserving (non-distinct) tokens — shingling needs sequence,
+    * not set, semantics. */
+  private val wordsRawExpr: Column =
+    expr("filter(split(text, ' '), x -> x != '')")
+
   /** One row per doc: (doc_id, hs, sz) where `hs` is the word set as a
     * SORTED array of xxhash64 values — the representation
     * [[graft.functions.SortedLongJaccard]] merge-intersects without
@@ -381,5 +386,55 @@ object DedupOps {
       ORDER BY doc_a, doc_b"""),
     headline = true)
 
-  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  // ---------------------------------------------------------------- d08
+  /** Benchmark decontamination: find corpus documents sharing ≥3 distinct
+    * 8-gram word shingles with any document of a held-out benchmark set —
+    * the overlap test run before training to keep eval data out of the
+    * corpus. (Benchmark stand-in here: doc_id < 50; a real run would load
+    * the eval suites as the `bench` frame.)
+    *
+    * Scale shape: shingling is scan-local expression work (slice +
+    * concat inside codegen, docs shorter than the shingle width drop
+    * out); the only shuffle is the shingle equi-join, and the BENCH side
+    * of it is small by construction (eval suites, not corpora) → Spark
+    * broadcasts it and the corpus streams past once. Shingle strings
+    * would be hashed to int64 at 100 TB to shrink the broadcast; kept as
+    * strings here so the oracle join is byte-exact. */
+  val d08 = Q("d08_decontaminate",
+    (s, dir) => {
+      def shingled(df: DataFrame, idCol: String): DataFrame = df
+        .withColumn("toks", wordsRawExpr)
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id").as(idCol), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 7), " +
+            "i -> concat_ws(' ', slice(toks, i, 8))))")).as("shingle"))
+      val d = docs(s, dir)
+      val bench = shingled(d.filter(col("doc_id") < 50), "bench_id")
+      val corpus = shingled(d.filter(col("doc_id") >= 50), "doc_id")
+      corpus.join(broadcast(bench), "shingle")
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("bench_id", "doc_id")
+        .select("bench_id", "doc_id", "n_shared")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+        FROM t WHERE len(toks) >= 8)
+      SELECT b.doc_id AS bench_id, c.doc_id AS doc_id,
+             count(*) AS n_shared
+      FROM sh b JOIN sh c ON b.shingle = c.shingle
+      WHERE b.doc_id < 50 AND c.doc_id >= 50
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+      ORDER BY bench_id, doc_id"""))
+
+  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

@@ -278,5 +278,94 @@ object TextOps {
       FROM documents
       ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // ---------------------------------------------------------------- t09
+  /** Quality-decile curriculum split: rank every document by the t04
+    * quality score into 10 equal buckets — the "train on the top decile
+    * first / drop the bottom one" curation step. Ties broken by doc_id so
+    * both engines bucket identically. NOTE the global ntile implies a
+    * total order (one range-partitioned sort); at corpus scale the same
+    * split comes from approx quantile cutpoints (q20/q26 machinery) +
+    * a scan-local bucket lookup — exact ntile is kept here because it is
+    * what a SQL oracle can check. */
+  val t09 = Q("t09_quality_deciles",
+    (s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("toks", tokensExpr)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
+            col("n_tokens"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.3 +
+            col("alpha_ratio") * 0.2, 4))
+      scored
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 4).as("avg_quality"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+               round(least(1.0, n_tokens / 50.0) * 0.5 +
+                     (1.0 - n_stop / n_tokens) * 0.3 +
+                     (n_alpha / length(text)) * 0.2, 4) AS quality
+        FROM t),
+      ranked AS (
+        SELECT quality,
+               ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        FROM scored)
+      SELECT decile, count(*) AS n_docs,
+             round(avg(quality), 4) AS avg_quality
+      FROM ranked
+      GROUP BY decile
+      ORDER BY decile"""))
+
+  // ---------------------------------------------------------------- t10
+  /** Domain-mixture sampling weights: per-source token counts turned into
+    * temperature-scaled sampling weights w_s ∝ tokens_s^0.5 (the standard
+    * alpha-sampling used to rebalance domain mixtures). The global
+    * normalizer is a window over the per-source aggregate — #sources
+    * rows, so the unpartitioned window is a non-issue at any corpus
+    * size (the heavy work, token counting, is partial-agg'd under it). */
+  val t10 = Q("t10_mix_weights",
+    (s, dir) => {
+      val perSource = docs(s, dir)
+        .select(col("source"), size(tokensExpr).cast("long").as("n"))
+        .groupBy("source")
+        .agg(sum("n").as("tokens"))
+      perSource
+        .withColumn("w_raw", sqrt(col("tokens").cast("double")))
+        .withColumn("weight", round(col("w_raw") /
+          sum("w_raw").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()), 6))
+        .select(col("source"), col("tokens"), col("weight"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH per_source AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY source)
+      SELECT source, tokens,
+             round(sqrt(CAST(tokens AS DOUBLE)) /
+                   sum(sqrt(CAST(tokens AS DOUBLE))) OVER (), 6) AS weight
+      FROM per_source
+      ORDER BY source"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
