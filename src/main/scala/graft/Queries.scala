@@ -29,6 +29,7 @@ object Queries {
       operators.RangeJoinOps.queries ++
       operators.SkewOps.queries ++
       operators.MergeOps.queries ++
+      operators.GraphOps.queries ++
       operators.MultimodalOps.queries ++
       operators.MapReduceQueries.queries
 

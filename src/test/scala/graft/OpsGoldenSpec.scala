@@ -128,6 +128,16 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(d07.nonEmpty) // docs 0/1/2 are near-dups
   }
 
+  test("triangleCount sees the one triangle in a triangle-plus-tail graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3 (edges in mixed orientation) + tail 3-4
+    val edges = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val n = operators.GraphOps.triangleCount(edges)
+      .select(col("n_triangles")).collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
   test("m02 fake decode is deterministic and schema-stable") {
     val rows = Queries.byName("m02_decode_features").build(spark, dir).collect()
     assert(rows.length == 6)
