@@ -33,19 +33,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       exprs => {
         import org.apache.spark.sql.catalyst.expressions.Literal
-        def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
           x match {
-            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
-            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toInt
+            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v.toLong
+            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v
             case other => throw new IllegalArgumentException(
               s"minhash_agg: $what must be an integer literal, got ${other.sql}")
           }
+        def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int = {
+          val v = longLit(x, what)
+          // reject instead of truncating: a wrapped numHashes would silently
+          // build a different sketch shape than the caller asked for
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            s"minhash_agg: $what out of int range: $v")
+          v.toInt
+        }
         exprs match {
           case Seq(child) => MinHashAgg(child, 64, 42L).toAggregateExpression()
           case Seq(child, n) =>
             MinHashAgg(child, intLit(n, "numHashes"), 42L).toAggregateExpression()
           case Seq(child, n, s) =>
-            MinHashAgg(child, intLit(n, "numHashes"), intLit(s, "seed").toLong)
+            MinHashAgg(child, intLit(n, "numHashes"), longLit(s, "seed"))
               .toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")

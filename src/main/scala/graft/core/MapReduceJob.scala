@@ -107,7 +107,15 @@ object MiniJob {
         }
       if (raw == null) throw new UnexpectedReturnTypeException(
         s"job '${spec.name}': mapper returned null instead of pairs (unexpected_return_type)")
-      val out = raw.iterator.toSeq
+      // consume INSIDE the taxonomy wrapper: a lazy IterableOnce (iterator,
+      // view, LazyList) runs user code during iteration, not at the call
+      val out =
+        try raw.iterator.toSeq
+        catch {
+          case e: InvalidResultException => throw e
+          case scala.util.control.NonFatal(e) => throw new UserFunctionCrashedException(
+            s"job '${spec.name}': mapper crashed (user_function_crashed): ${e.getMessage}", e)
+        }
       out.foreach { case (k, _) =>
         if (k == null) throw new InvalidResultException(
           s"job '${spec.name}': mapper emitted a null key (invalid_result_format)")
@@ -136,7 +144,13 @@ object MiniJob {
           }
         if (raw == null) throw new UnexpectedReturnTypeException(
           s"job '${spec.name}': reducer returned null instead of pairs (unexpected_return_type)")
-        val out = raw.iterator.toSeq
+        val out =
+          try raw.iterator.toSeq
+          catch {
+            case e: InvalidResultException => throw e
+            case scala.util.control.NonFatal(e) => throw new UserFunctionCrashedException(
+              s"job '${spec.name}': reducer crashed (user_function_crashed): ${e.getMessage}", e)
+          }
         out.foreach { case (k2, _) =>
           if (k2 == null) throw new InvalidResultException(
             s"job '${spec.name}': reducer emitted a null key (invalid_result_format)")
@@ -179,11 +193,20 @@ object MiniJob {
       case None    => new Sinks.TsvCountSink(txtPath, suffixText)
       case Some(_) => new Sinks.TsvSortedSink(txtPath, suffixText)
     }
-    sorted.toLocalIterator().asScala.foreach { case (k, v) =>
-      json.write(k, v); tsv.write(k, v)
-    }
-    val n1 = json.close()
-    val n2 = tsv.close()
+    // close-on-failure: a job error mid-stream must not leak the writers
+    // (or TsvSortedSink's .body temp file) in a long-lived driver
+    var ok = false
+    val (n1, n2) =
+      try {
+        sorted.toLocalIterator().asScala.foreach { case (k, v) =>
+          json.write(k, v); tsv.write(k, v)
+        }
+        ok = true
+        (json.close(), tsv.close())
+      } finally if (!ok) {
+        try json.close() catch { case scala.util.control.NonFatal(_) => }
+        try tsv.close() catch { case scala.util.control.NonFatal(_) => }
+      }
     require(n1 == n2, s"sink entry counts diverged: json=$n1 tsv=$n2")
     JobResult(jsonPath, txtPath, spec.sortOpt.isDefined, n1)
   }

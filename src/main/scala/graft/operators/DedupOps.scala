@@ -48,8 +48,7 @@ object DedupOps {
   private def hashedWordSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      expr("array_sort(transform(array_distinct(filter(split(text, ' '), x -> x != '')), w -> xxhash64(w)))")
-        .as("hs"))
+      array_sort(transform(wordsExpr, w => xxhash64(w))).as("hs"))
       .withColumn("sz", size(col("hs")))
 
   // ---------------------------------------------------------------- d01
@@ -276,6 +275,12 @@ object DedupOps {
       labels = next
       round += 1
     }
+    // returning truncated labels would silently split components; a graph
+    // with diameter > maxRounds needs the doubling algorithm cited above
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxRounds rounds " +
+        s"($changed labels still changing) — graph diameter exceeds maxRounds; " +
+        "raise maxRounds or switch to large-star/small-star doubling")
     labels
   }
 

@@ -26,11 +26,14 @@ object MergeOps {
     require(target.columns.sameElements(updates.columns),
       s"schema mismatch: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val t = target.alias("t")
-    val u = updates.alias("u")
+    // presence flag, NOT `u.key IS NOT NULL`: a null-key update row never
+    // joins, and testing the key would route its columns to the (all-null)
+    // t side — emitting a phantom all-NULL row instead of the update
+    val u = updates.withColumn("__from_update", lit(true)).alias("u")
     val cols = target.columns.toSeq
     t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .select(cols.map(c =>
-        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+        when(col("u.__from_update").isNotNull, col(s"u.$c"))
           .otherwise(col(s"t.$c")).as(c)): _*)
   }
 

@@ -102,7 +102,12 @@ case class AsOfJoinExec(
       val lTimeE = BindReferences.bindReference(lt, lOut)
       val rKeyE = BindReferences.bindReference(rk, rOut)
       val rTimeE = BindReferences.bindReference(rt, rOut)
-      val proj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // Bind against a RIGHT-side-nullable input schema: the unmatched-left
+      // case feeds an all-null row for the right half, and a BoundReference
+      // that kept the child's nullable=false would skip the null check —
+      // reading 0/garbage for primitives and NPE-ing on strings.
+      val proj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 

@@ -46,6 +46,20 @@ class AsOfPlanSpec extends AnyFunSuite {
     ))
   }
 
+  test("unmatched left rows yield NULL (not 0) for non-nullable right primitives") {
+    // quotes comes from toDF ⇒ q_sym/q_ts are non-nullable bigint; the
+    // projection must still null-check them for the unmatched-left row
+    val row = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .filter(col("sym") === 3L).collect().head
+    assert(row.isNullAt(row.fieldIndex("q_sym")))
+    assert(row.isNullAt(row.fieldIndex("q_ts")))
+    assert(row.isNullAt(row.fieldIndex("quote")))
+    val unmatchedByNull = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts")
+      .filter(col("q_ts").isNull).select("sym", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unmatchedByNull == Set((1L, 5L), (2L, 14L), (3L, 50L)))
+  }
+
   test("physical plan uses AsOfJoinExec with co-partitioned sorted children") {
     val df = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts")
     // TreeNode.nodeName strips the Exec suffix in plan strings

@@ -121,6 +121,21 @@ class CoreJobSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("user_function_crashed")))
   }
 
+  test("lazily-crashing mapper output is still classified user_function_crashed") {
+    import spark.implicits._
+    // the mapper call returns instantly; the crash fires during ITERATION
+    val spec = JobSpec[String, Long]("lazyboom",
+      line => line.split(" ").iterator.map { w =>
+        if (w == "boom") sys.error("lazy exploded"); w -> 1L
+      },
+      (k, vs) => Iterator.single(k -> vs.sum))
+    val ex = intercept[org.apache.spark.SparkException] {
+      MiniJob.transform(spark, spec, Seq("a boom c").toDS()).collect()
+    }
+    assert(ex.getMessage.contains("user_function_crashed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("user_function_crashed")))
+  }
+
   test("null-returning user functions surface as unexpected_return_type") {
     import spark.implicits._
     val spec = JobSpec[String, Long]("nullret",

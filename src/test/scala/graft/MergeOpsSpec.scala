@@ -27,6 +27,15 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.isNullAt(1))
   }
 
+  test("a null-key update row is kept as an insert, not an all-NULL phantom") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val updates = Seq((Option.empty[Long], "orphan")).toDF("k", "v")
+    val got = MergeOps.upsert(target, updates, "k")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a"), (None, "orphan")))
+  }
+
   test("mismatched schemas are rejected") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "v")
