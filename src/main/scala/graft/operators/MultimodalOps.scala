@@ -114,5 +114,47 @@ object MultimodalOps {
       LATERAL (SELECT unnest(range(0, octet_length(encode(text)) % 240 + 60, 30)) AS frame_idx) f
       ORDER BY doc_id, frame_idx"""))
 
-  val queries: Seq[Q] = Seq(m01, m02, m03)
+  // ---------------------------------------------------------------- m04
+  /** Overlapping-window document chunking — the retrieval/embedding
+    * pipeline's splitter: token windows of 64 with stride 48 (16-token
+    * overlap so no boundary sentence is lost), one row per chunk with its
+    * re-joined text and true token count (the tail chunk is shorter).
+    *
+    * Entirely expression-space: the window schedule is `sequence` +
+    * `transform` + `slice` inside codegen, so a corpus fans out
+    * executor-side with no UDF and no driver involvement; the chunk rows
+    * feed straight into an embedding UDF batch (m02's mapPartitions
+    * contract) or a write partitioned by source. */
+  val m04 = Q("m04_chunking",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, greatest(1, size(toks) - 15), 48), " +
+            "i -> concat_ws(' ', slice(toks, i, 64)))")).as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          size(expr("filter(split(chunk_text, ' '), x -> x != '')"))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               generate_subscripts(starts, 1) - 1 AS chunk_idx,
+               list_transform(starts, i -> array_to_string(toks[i:i+63], ' ')) AS texts
+        FROM (SELECT doc_id, toks,
+                     range(1, greatest(1, len(toks) - 15) + 1, 48) AS starts
+              FROM t))
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             texts[chunk_idx + 1] AS chunk_text,
+             CAST(len(list_filter(string_split(texts[chunk_idx + 1], ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM chunks
+      ORDER BY doc_id, chunk_idx"""))
+
+  val queries: Seq[Q] = Seq(m01, m02, m03, m04)
 }

@@ -367,5 +367,32 @@ object TextOps {
       FROM per_source
       ORDER BY source"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // ---------------------------------------------------------------- t11
+  /** PII-style redaction: scrub email-shaped tokens and digit runs to a
+    * placeholder before the corpus ships — scan-local regexp_replace, no
+    * shuffle except the output ordering. The email alternative is listed
+    * FIRST: Java regex takes the first matching alternative while RE2
+    * (DuckDB) takes the longest, so putting the longer pattern first
+    * keeps both engines byte-identical on inputs like "123@abc.de".
+    * Emits the redaction count and a digest of the scrubbed text (the
+    * full text would bloat the compare; the digest pins every byte). */
+  val t11 = Q("t11_redact",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+|[0-9]+', 0)"))
+            .cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+|[0-9]+", "<pii>")
+            .cast("binary")).as("redacted_hash"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+|[0-9]+')) AS BIGINT)
+               AS n_redacted,
+             md5(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+|[0-9]+', '<pii>', 'g'))
+               AS redacted_hash
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
