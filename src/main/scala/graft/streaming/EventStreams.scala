@@ -187,6 +187,37 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming upsert sink: every micro-batch is MERGEd into the parquet
+    * snapshot at `tablePath` via [[graft.operators.MergeOps.upsert]] —
+    * late corrections replace their key's row, new keys append, the rest
+    * carries forward. The swap is write-staging-then-rename, the portable
+    * single-writer core of what lakehouse table formats do with a commit
+    * log (which is the upgrade path for multi-writer or crash-between-
+    * rename atomicity). State lives entirely in the snapshot: the stream
+    * itself keeps none, so the query restarts from its checkpoint without
+    * rebuilding anything. */
+  def upsertStream(updates: DataFrame, key: String, tablePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new java.io.File(tablePath)
+        val merged =
+          if (target.exists())
+            graft.operators.MergeOps.upsert(spark.read.parquet(tablePath), batch, key)
+          else batch
+        val staging = new java.io.File(tablePath + ".staging")
+        merged.write.mode("overwrite").parquet(staging.getPath) // materializes BEFORE the swap
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        if (target.exists()) rm(target)
+        require(staging.renameTo(target), s"upsertStream: rename failed for $tablePath")
+      }
+      .start()
+
   /** Convenience: stream the events parquet as a file source. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = graft.Tables.df(spark, sfDir, "events").schema

@@ -160,6 +160,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(back == Set((ts(0), "click", 2L, 3.0)))
   }
 
+  test("streaming upsert folds micro-batches into the parquet snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-stream").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.upsertStream(stream.toDF().toDF("k", "v"),
+      "k", s"$dir/table", s"$dir/ckpt")
+
+    stream.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    stream.addData((2L, "B2"), (3L, "c")) // correction for 2, insert 3
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.read.parquet(s"$dir/table")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
   test("streaming dedup suppresses same-content docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

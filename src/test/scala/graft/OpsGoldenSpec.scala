@@ -119,6 +119,43 @@ class OpsGoldenSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("prefix-filter completeness on randomized template corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded generator (no scalacheck-plus in the offline cache): mutate a
+    // 40-word template by swapping k random words — a spread of Jaccard
+    // values straddling the 0.9 threshold, the regime where a wrong prefix
+    // length silently drops pairs
+    val rnd = new scala.util.Random(1234)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val template = rnd.shuffle(vocab).take(40)
+    val docsLocal = (0L until 40L).map { id =>
+      val k = rnd.nextInt(5) // 0-4 swaps → J from 1.0 down to ~0.78
+      val words = template.toArray
+      (0 until k).foreach { _ =>
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      (id, words.mkString(" "))
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-d07rand").toString
+    docsLocal.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact quadratic on word sets
+    val w = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), expr("array_distinct(filter(split(text,' '), x -> x != ''))").as("s"))
+    val truth = pairs(w.alias("a").join(w.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", functions.VectorFunctions.jaccard_similarity(col("a.s"), col("b.s")))
+      .filter(col("j") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id")))
+    val got = pairs(Queries.byName("d07_allpairs_jaccard").build(spark, d)
+      .select(col("doc_a"), col("doc_b")))
+    assert(got == truth)
+    assert(truth.size > 10, s"generator degenerate: only ${truth.size} true pairs")
+  }
+
   test("d07 prefix-filter join returns exactly the d02 pair set") {
     val d02 = Queries.byName("d02_minhash_lsh").build(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
