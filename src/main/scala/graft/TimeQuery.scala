@@ -17,6 +17,8 @@ object TimeQuery {
       q.build(spark, dir).write.mode("overwrite").format("noop").save()
       println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      q.build(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -394,5 +394,34 @@ object TextOps {
       FROM documents
       ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  // ---------------------------------------------------------------- t12
+  /** Class-balanced downsampling: keep at most 30 documents per language,
+    * chosen by a deterministic digest order — the rebalancing step before
+    * training on a skewed label distribution. Digest-ranking (not rand())
+    * makes the sample reproducible across engines and re-runs, which is
+    * what lets an oracle check it row-for-row; one window shuffle by the
+    * bounded label key. */
+  val t12 = Q("t12_class_rebalance",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= 30)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_kept_id"))
+        .orderBy("lang"),
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT lang, count(*) AS n_kept, min(doc_id) AS min_kept_id
+      FROM ranked
+      WHERE rk <= 30
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
