@@ -94,13 +94,30 @@ object DedupOps {
         xxhash64((bnd * 4 until bnd * 4 + 4).map(i =>
           element_at(col("sig"), i + 1)): _*).as("bh"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // each band row also carries the doc's FULL 16-hash vector (128 bytes
+    // on an 80k-row frame — negligible), so the join can emit a pair only
+    // in the FIRST band where the two docs collide: exactly-once pair
+    // emission in expression space, replacing a distinct() that had to
+    // shuffle every (pair × matching-band) copy — the near-dup-heavy
+    // corpus made that ~16× the distinct pair volume
+    val bands = sigs
+      .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
+      .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // first-matching band as a CASE WHEN chain over the 16 static element
+    // comparisons — stays in whole-stage codegen, where the equivalent
+    // zip_with + array_position formulation is an interpreted
+    // CodegenFallback evaluated once per joined row
+    val firstMatch = (0 until 16)
+      .map(i => (col("x.bhs").getItem(i) === col("y.bhs").getItem(i), lit(i)))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (cond, v)) => Some(when(cond, v))
+        case (Some(acc), (cond, v)) => Some(acc.when(cond, v))
+      }.get
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") && col("band") === firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     // exact verify on candidates only, over sorted-long word sets
     exactVerify(s, dir, cand, threshold)
   }
