@@ -88,8 +88,12 @@ object DedupOps {
     // instead of 64 separate min() columns
     val sigs = hashed.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_agg(col("wh"), 64, 42L).as("sig"))
-    // 16 bands of 4 rows; band key = hash of the 4 signature values
-    val bandCols = (0 until 16).map { bnd =>
+    // 16 bands of 4 rows; band key = hash of the 4 signature values.
+    // numBands is THE banding constant: bandCols and the firstMatch chain
+    // below both derive from it — diverging copies would silently drop
+    // candidate pairs whose first colliding band is past the shorter list
+    val numBands = 16
+    val bandCols = (0 until numBands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64((bnd * 4 until bnd * 4 + 4).map(i =>
           element_at(col("sig"), i + 1)): _*).as("bh"))
@@ -108,7 +112,7 @@ object DedupOps {
     // comparisons — stays in whole-stage codegen, where the equivalent
     // zip_with + array_position formulation is an interpreted
     // CodegenFallback evaluated once per joined row
-    val firstMatch = (0 until 16)
+    val firstMatch = (0 until numBands)
       .map(i => (col("x.bhs").getItem(i) === col("y.bhs").getItem(i), lit(i)))
       .foldLeft(Option.empty[Column]) {
         case (None, (cond, v)) => Some(when(cond, v))

@@ -130,8 +130,12 @@ object MultimodalOps {
       docs(s, dir)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        // last start ≤ size−16 (not −15): a start of exactly size−15 would
+        // produce a 16-token tail fully contained in the previous chunk.
+        // Coverage stays complete — stride 48 < window 64 overlaps, and
+        // the largest kept start is > size−64 so the tail is reached.
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, greatest(1, size(toks) - 15), 48), " +
+          "transform(sequence(1, greatest(1, size(toks) - 16), 48), " +
             "i -> concat_ws(' ', slice(toks, i, 64)))")).as(Seq("chunk_idx", "chunk_text")))
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk_text"),
@@ -147,7 +151,7 @@ object MultimodalOps {
                generate_subscripts(starts, 1) - 1 AS chunk_idx,
                list_transform(starts, i -> array_to_string(toks[i:i+63], ' ')) AS texts
         FROM (SELECT doc_id, toks,
-                     range(1, greatest(1, len(toks) - 15) + 1, 48) AS starts
+                     range(1, greatest(1, len(toks) - 16) + 1, 48) AS starts
               FROM t))
       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              texts[chunk_idx + 1] AS chunk_text,

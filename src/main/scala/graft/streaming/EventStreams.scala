@@ -200,21 +200,32 @@ object EventStreams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val target = new java.io.File(tablePath)
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        // one row per key per batch: duplicate keys would each survive the
+        // full-outer merge and corrupt the keyed snapshot forever (which
+        // row wins an intra-batch tie is arbitrary — callers needing
+        // last-wins pre-aggregate on an ordering column first)
+        val batch = rawBatch.dropDuplicates(key)
+        // FileSystem API, not java.io.File: tablePath may be hdfs://,
+        // s3a://, or file:/ URI form — java.io would silently report
+        // exists()=false and skip merging an existing snapshot
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: staging-without-target means a previous run died
+        // between delete and rename, and staging holds the complete merged
+        // snapshot — finish its swap instead of silently restarting empty
+        if (fs.exists(staging) && !fs.exists(target)) fs.rename(staging, target)
+        else if (fs.exists(staging)) fs.delete(staging, true)
         val merged =
-          if (target.exists())
+          if (fs.exists(target))
             graft.operators.MergeOps.upsert(spark.read.parquet(tablePath), batch, key)
           else batch
-        val staging = new java.io.File(tablePath + ".staging")
-        merged.write.mode("overwrite").parquet(staging.getPath) // materializes BEFORE the swap
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        if (target.exists()) rm(target)
-        require(staging.renameTo(target), s"upsertStream: rename failed for $tablePath")
+        merged.write.mode("overwrite").parquet(staging.toString) // materializes BEFORE the swap
+        if (fs.exists(target)) fs.delete(target, true)
+        require(fs.rename(staging, target),
+          s"upsertStream: rename failed for $tablePath")
       }
       .start()
 

@@ -168,13 +168,16 @@ class EventStreamsSpec extends AnyFunSuite {
     val q = EventStreams.upsertStream(stream.toDF().toDF("k", "v"),
       "k", s"$dir/table", s"$dir/ckpt")
 
-    stream.addData((1L, "a"), (2L, "b"))
+    // key 2 duplicated within batch 1: must collapse to ONE snapshot row,
+    // not two rows that would double every later correction
+    stream.addData((1L, "a"), (2L, "b"), (2L, "b"))
     q.processAllAvailable()
     stream.addData((2L, "B2"), (3L, "c")) // correction for 2, insert 3
     q.processAllAvailable(); q.stop()
 
-    val got = spark.read.parquet(s"$dir/table")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = spark.read.parquet(s"$dir/table").collect()
+    assert(rows.length == 3)
+    val got = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 

@@ -175,6 +175,20 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("m04 chunking emits no fully-redundant tail chunk") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-m04").toString
+    Seq(
+      (0L, (1 to 64).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (1L, (1 to 65).map(i => s"t$i").mkString(" ")),  // tail holds a new token
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")))  // shorter than one window
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$d/documents.parquet")
+    val perDoc = Queries.byName("m04_chunking").build(spark, d)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("m02 fake decode is deterministic and schema-stable") {
     val rows = Queries.byName("m02_decode_features").build(spark, dir).collect()
     assert(rows.length == 6)
