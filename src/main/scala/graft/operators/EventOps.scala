@@ -265,5 +265,37 @@ object EventOps {
         ON grid.hour = hourly.hour AND grid.event_type = hourly.event_type
       ORDER BY 1, 2"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  // ---------------------------------------------------------------- e08
+  /** Cohort retention: users grouped by first-seen day, counted on each
+    * later activity day — the classic retention triangle. Two bounded
+    * aggregates (first-seen per user, then distinct users per
+    * (cohort, offset) cell); the user-day dedup is the only wide state
+    * and it shuffles pre-aggregated (user, day) pairs, not raw events. */
+  val e08 = Q("e08_cohort_retention",
+    (s, dir) => {
+      val byUser = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = byUser.groupBy("user_id")
+        .agg(min("day").as("cohort_day"))
+      byUser.distinct()
+        .join(firstSeen, "user_id")
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""
+      WITH by_user AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      first_seen AS (
+        SELECT user_id, min(day) AS cohort_day FROM by_user GROUP BY user_id)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+             CAST(day - cohort_day AS BIGINT) AS day_offset,
+             count(DISTINCT b.user_id) AS n_users
+      FROM by_user b JOIN first_seen USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort, day_offset"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }

@@ -423,5 +423,30 @@ object TextOps {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  // ---------------------------------------------------------------- t13
+  /** K-fold split assignment: every document deterministically assigned
+    * to one of 5 folds by key digest — train/validation splitting that
+    * is reproducible, engine-independent, and stable under re-runs and
+    * repartitioning (rand()-based splits are none of these). Scan-local
+    * expression + one bounded-key aggregate to profile the folds. */
+  val t13 = Q("t13_kfold_split",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("fold",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(5)))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokensExpr)).cast("long").as("n_tokens"))
+        .orderBy("fold"),
+    Some("""
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS BIGINT) AS fold,
+             count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT)
+               AS n_tokens
+      FROM documents
+      GROUP BY fold
+      ORDER BY fold"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
