@@ -46,8 +46,17 @@ object MergeOps {
     (s, dir) => {
       val orders = Tables.df(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // Reprice in exact decimal, not double: round(double*1.1, 2) tie-breaks
+      // differently across engines (Spark renders the double and HALF_UPs the
+      // decimal string; DuckDB rounds in scaled double arithmetic), so ~1 in
+      // 10^3 repriced rows diverge by a cent and poison every sum downstream.
+      // decimal(18,2) * decimal(2,1) → exact product; HALF_UP to 2 places is
+      // defined identically everywhere; cast back to double is correctly
+      // rounded on both engines.
       val updates = orders.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice",
+          round(col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")), 2)
+            .cast("double"))
         .union(orders.filter(col("o_orderkey") % 97 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
       MergeOps.upsert(orders, updates, "o_orderkey")
@@ -59,7 +68,8 @@ object MergeOps {
     Some("""
       WITH upd AS (
         SELECT o_orderkey, o_orderstatus,
-               round(o_totalprice * 1.1, 2) AS o_totalprice
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+                 AS o_totalprice
         FROM orders WHERE o_orderkey % 7 = 0
         UNION ALL
         SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice

@@ -36,6 +36,20 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(got == Set((Some(1L), "a"), (None, "orphan")))
   }
 
+  test("decimal reprice HALF_UPs exact half-cent products") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100.05 * 1.1 = 110.055 exactly in decimal — a half-cent tie. HALF_UP
+    // must give 110.06; the old double-path round() could land on 110.05
+    // depending on the engine's rendering of the product.
+    val got = Seq(100.05, 99.95, 17.25).toDF("p")
+      .select(round(col("p").cast("decimal(18,2)") * lit(BigDecimal("1.1")), 2)
+        .cast("double").as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    // 110.055 → 110.06, 109.945 → 109.95, 18.975 → 18.98 (all HALF_UP ties)
+    assert(got == Seq(110.06, 109.95, 18.98))
+  }
+
   test("mismatched schemas are rejected") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "v")
