@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashAgg}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashAgg, TopKAgg}
 
 /** SparkSessionExtensions hook: registers the engine's native functions
   * for SQL use at session build time —
@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               .toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
+        }
+      }))
+    // topk_agg(sort STRING, payload BIGINT, k INT) — k must be a literal
+    // (it bounds the aggregation state); wrong arity fails at analysis.
+    e.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        exprs match {
+          case Seq(sort, payload, Literal(k: Int, _: org.apache.spark.sql.types.IntegerType)) =>
+            TopKAgg(sort, payload, k).toAggregateExpression()
+          case Seq(_, _, other) => throw new IllegalArgumentException(
+            s"topk_agg: k must be an integer literal, got ${other.sql}")
+          case other => throw new IllegalArgumentException(
+            s"topk_agg takes 3 arguments (sort, payload, k), got ${other.size}")
         }
       }))
   }

@@ -287,21 +287,26 @@ object TextOps {
     * split comes from approx quantile cutpoints (q20/q26 machinery) +
     * a scan-local bucket lookup — exact ntile is kept here because it is
     * what a SQL oracle can check. */
+  /** t04/t09's quality score per document — shared by the exact-ntile
+    * and approx-cutpoint decile formulations so they rank the same
+    * corpus identically. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
+          col("n_tokens"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          col("alpha_ratio") * 0.2, 4))
+
   val t09 = Q("t09_quality_deciles",
     (s, dir) => {
-      val scored = docs(s, dir)
-        .withColumn("toks", tokensExpr)
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_ratio",
-          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
-            col("n_tokens"))
-        .withColumn("alpha_ratio",
-          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
-        .withColumn("quality",
-          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-            (lit(1.0) - col("stop_ratio")) * 0.3 +
-            col("alpha_ratio") * 0.2, 4))
-      scored
+      qualityScored(s, dir)
         .withColumn("decile", ntile(10).over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("quality").desc, col("doc_id"))))
@@ -399,17 +404,25 @@ object TextOps {
     * chosen by a deterministic digest order — the rebalancing step before
     * training on a skewed label distribution. Digest-ranking (not rand())
     * makes the sample reproducible across engines and re-runs, which is
-    * what lets an oracle check it row-for-row; one window shuffle by the
-    * bounded label key. */
+    * what lets an oracle check it row-for-row.
+    *
+    * Plan shape: a bounded top-K aggregate ([[graft.functions.TopKAgg]]),
+    * NOT `row_number().over(partitionBy(lang))` — the window form sorts
+    * each label's full row set in one task to keep 30 rows, so a dominant
+    * label (90%-English corpus) is a single straggler at 100 TB. The
+    * aggregate's state is a 30-element heap with partial/merge, so skew
+    * costs nothing. The window formulation survives as the ground-truth
+    * twin in TopKAggSpec (byte-identical on every label), and the DuckDB
+    * oracle below still states the semantics as a window. */
   val t12 = Q("t12_class_rebalance",
     (s, dir) =>
       docs(s, dir)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang")
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .filter(col("rk") <= 30)
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_kept_id"))
+        .agg(graft.functions.TopKAgg.topk_agg(
+          md5(col("doc_id").cast("string")), col("doc_id"), 30).as("kept"))
+        .select(col("lang"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_min(col("kept")).as("min_kept_id"))
         .orderBy("lang"),
     Some("""
       WITH ranked AS (
@@ -448,5 +461,70 @@ object TextOps {
       GROUP BY fold
       ORDER BY fold"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+  // ---------------------------------------------------------------- t14
+  /** Bucket a scored corpus into value-cutpoint deciles WITHOUT a global
+    * sort: cutpoints come from `approx_percentile` (a partial-aggregatable
+    * Greenwald-Khanna sketch — scan + one tiny final merge), broadcast as
+    * a single row, and bucket assignment is a scan-local 9-element
+    * comparison. This is the 100 TB twin of t09's exact `ntile(10)`
+    * (one range-partitioned TOTAL sort): same curriculum split, no stage
+    * whose size scales with the corpus. Buckets are value-based, so ties
+    * at a cutpoint all land in the lower decile and bucket sizes are only
+    * ~N/10 (ntile splits ties arbitrarily to force exact sizes);
+    * TopKAggSpec bounds that skew against the exact split.
+    *
+    * `accuracy` trades sketch size for rank error (ε = 1/accuracy); at
+    * accuracy > N the sketch is exact and returns the ascending-rank
+    * `ceil(p·N)` element, which is what the DuckDB oracle replicates. */
+  def qualityDecilesApprox(scored: DataFrame, accuracy: Int = 10000000): DataFrame = {
+    val cuts = scored.agg(
+      percentile_approx(col("quality"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(accuracy)).as("cuts"))
+    scored
+      .crossJoin(broadcast(cuts)) // 1-row scalar, t07/e07 pattern
+      .withColumn("decile",
+        (lit(10) - size(expr("filter(cuts, c -> c < quality)"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("decile")
+  }
+
+  val t14 = Q("t14_quality_deciles_approx",
+    (s, dir) => qualityDecilesApprox(qualityScored(s, dir)),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+               len(list_filter(string_split(text,' '),
+                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+               round(least(1.0, n_tokens / 50.0) * 0.5 +
+                     (1.0 - n_stop / n_tokens) * 0.3 +
+                     (n_alpha / length(text)) * 0.2, 4) AS quality
+        FROM t),
+      ranked AS (
+        SELECT quality, row_number() OVER (ORDER BY quality) AS rk FROM scored),
+      cnt AS (SELECT count(*) AS n FROM scored),
+      -- exact-accuracy approx_percentile returns the ascending element at
+      -- 1-based rank ceil(p*N); replicate that selection rank-for-rank
+      cuts AS (
+        SELECT r.quality AS c
+        FROM ranked r, cnt,
+             (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p) ps
+        WHERE r.rk = CAST(ceil(p * n) AS BIGINT)),
+      bucketed AS (
+        SELECT s.doc_id, s.quality,
+               10 - (SELECT count(*) FROM cuts WHERE c < s.quality) AS decile
+        FROM scored s)
+      SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+             round(avg(quality), 4) AS avg_quality
+      FROM bucketed
+      GROUP BY decile
+      ORDER BY decile"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
