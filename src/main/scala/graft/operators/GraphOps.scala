@@ -12,27 +12,70 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Canonical undirected edge set: (a, b) with a < b, self-loops and
+    * duplicates dropped. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.toDF("src", "dst")
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+
   /** Count triangles in an undirected graph given as (src, dst) edges.
     *
     * Edges are canonicalized to src < dst, so each triangle {a<b<c} is
     * counted exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — the two-join
     * formulation of the classic MapReduce triangle count (Suri &
-    * Vassilvitskii, WWW'11; their degree-ordering refinement bounds the
-    * wedge fan-out under power-law skew and is the documented upgrade
-    * path — unneeded for near-clique dedup graphs where AQE's skew
-    * split covers the hot vertices). Both joins are plain equi-joins:
-    * wedge generation shuffles by the middle vertex, closure by the
-    * (a, c) pair. */
+    * Vassilvitskii, WWW'11). Wedge fan-out at a vertex of degree d is
+    * O(d²), so a power-law hub dominates the wedge stage — this form is
+    * the ground-truth twin; [[triangleCountDegreeOrdered]] is the scale
+    * path. Both joins are plain equi-joins: wedge generation shuffles by
+    * the middle vertex, closure by the (a, c) pair. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst")
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+    val e = canonical(edges)
     val wedges = e.toDF("a", "b").alias("x")
       .join(e.toDF("b", "c").alias("y"), "b")
       .filter(col("b") < col("c"))
       .select(col("a"), col("b"), col("c"))
     wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Each edge oriented from its lower-(degree, id) endpoint: columns
+    * (src, dst, deg_dst). Every vertex's OUT-degree is then bounded by
+    * O(√m) regardless of its real degree — the Suri & Vassilvitskii
+    * ordering that tames power-law hubs. */
+  def degreeOriented(edges: DataFrame): DataFrame = {
+    val e = canonical(edges)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lowerA = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    e.join(deg.toDF("a", "deg_a"), "a")
+      .join(deg.toDF("b", "deg_b"), "b")
+      .select(
+        when(lowerA, col("a")).otherwise(col("b")).as("src"),
+        when(lowerA, col("b")).otherwise(col("a")).as("dst"),
+        when(lowerA, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+  }
+
+  /** Triangle count over degree-oriented edges: each triangle is found
+    * exactly once at its lowest-(degree, id) vertex — the only vertex
+    * with out-edges to both others. Wedges per vertex are C(outdeg, 2)
+    * with outdeg ≤ O(√m), so a degree-10⁶ hub that generates ~10¹²
+    * wedges in the canonical form generates ZERO here (all its edges
+    * point outward-in); the wedge stage shrinks from Σ deg(v)² to
+    * O(m^1.5) total. Same two-equi-join shape, same shuffles, no new
+    * operator — just a better orientation. */
+  def triangleCountDegreeOrdered(edges: DataFrame): DataFrame = {
+    val o = degreeOriented(edges)
+    val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
+      (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
+    val wedges = o.alias("x")
+      .join(o.alias("y"), col("x.src") === col("y.src"))
+      .filter(rankLt) // each out-neighbor pair once, lower rank first
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+    // the closing edge v—w is oriented v→w exactly because rank(v)<rank(w)
+    wedges.join(o.select("src", "dst"), Seq("src", "dst"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -43,7 +86,8 @@ object GraphOps {
     * wedges over the quadratic exact pair set. */
   val g01 = Q("g01_neardup_triangles",
     (s, dir) =>
-      triangleCount(DedupOps.nearDupPairs(s, dir).select("doc_a", "doc_b")),
+      triangleCountDegreeOrdered(
+        DedupOps.nearDupPairs(s, dir).select("doc_a", "doc_b")),
     Some("""
       WITH w AS (
         SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+  import spark.implicits._
+
+  private def tri(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect().head.getLong(0)
+
+  test("degree-ordered count equals canonical count") {
+    // K4 (4 triangles) + a pendant chain + an isolated triangle
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (9L, 7L)).toDF("src", "dst")
+    assert(tri(GraphOps.triangleCount(edges)) == 5L)
+    assert(tri(GraphOps.triangleCountDegreeOrdered(edges)) == 5L)
+
+    // pseudo-random graph: same counts whatever they are, plus dup +
+    // reversed edges to exercise canonicalization
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val redges = (es ++ es.take(50).map(_.swap)).toDF("src", "dst")
+    assert(tri(GraphOps.triangleCount(redges)) ==
+      tri(GraphOps.triangleCountDegreeOrdered(redges)))
+  }
+
+  test("degree ordering collapses the hub's wedge fan-out") {
+    // star with a MIDDLE-id hub (100), 40 leaves below and 40 above: zero
+    // triangles, but the id-canonical wedge join enumerates every
+    // (low leaf, hub, high leaf) wedge — 40×40 = 1600 — while the
+    // degree-oriented form points every edge leaf→hub, so no vertex has
+    // two out-edges and the wedge stage is EMPTY
+    val star = ((1L to 40L) ++ (101L to 140L)).map(l => (100L, l)).toDF("src", "dst")
+    assert(tri(GraphOps.triangleCount(star)) == 0L)
+    assert(tri(GraphOps.triangleCountDegreeOrdered(star)) == 0L)
+
+    val e = star.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    val canonicalWedges = e.toDF("a", "b").alias("x")
+      .join(e.toDF("b", "c").alias("y"), "b")
+      .filter(col("b") < col("c")).count()
+    assert(canonicalWedges == 1600L)
+
+    val o = GraphOps.degreeOriented(star)
+    val orientedWedges = o.alias("x")
+      .join(o.alias("y"), col("x.src") === col("y.src"))
+      .filter(col("x.dst") < col("y.dst")).count()
+    assert(orientedWedges == 0L)
+  }
+}
