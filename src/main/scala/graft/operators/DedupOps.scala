@@ -272,11 +272,16 @@ object DedupOps {
     * graphs components are near-cliques of duplicates, so diameter is
     * small and 3-5 rounds settle it. Labels are localCheckpoint-ed per
     * round to keep lineage bounded (same discipline as
-    * [[graft.examples.PageRank.runUntil]]). For adversarial long-path
-    * graphs the known fix is the large-star/small-star doubling algorithm
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — not needed for the dedup workload this serves. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * [[graft.examples.PageRank.runUntil]]).
+    *
+    * Rounds-budget crossover: a long-diameter component (a CHAIN of
+    * borderline near-dups, a linked log stream) needs O(diameter) rounds
+    * here, so after `crossoverAfter` non-converged rounds the work hands
+    * off to [[connectedComponentsAltStar]], which converges in O(log n)
+    * rounds on any graph — propagation stays the cheap common case, the
+    * doubling algorithm the guarantee. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
+      crossoverAfter: Int = 8): DataFrame = {
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
     var labels = sym.select(col("src").as("node")).distinct()
@@ -284,7 +289,8 @@ object DedupOps {
       .localCheckpoint()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    val budget = math.min(maxRounds, crossoverAfter)
+    while (changed > 0 && round < budget) {
       // every node also keeps its own label: union(self, neighbor labels)
       val fromNbr = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
@@ -296,13 +302,63 @@ object DedupOps {
       labels = next
       round += 1
     }
-    // returning truncated labels would silently split components; a graph
-    // with diameter > maxRounds needs the doubling algorithm cited above
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents: not converged after $maxRounds rounds " +
-        s"($changed labels still changing) — graph diameter exceeds maxRounds; " +
-        "raise maxRounds or switch to large-star/small-star doubling")
-    labels
+    if (changed > 0) connectedComponentsAltStar(edges, maxRounds)
+    else labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): per round, every node hooks its larger neighbors
+    * (large-star), then its smaller-or-equal neighbors plus itself
+    * (small-star), onto the minimum of its neighborhood. Each op is one
+    * groupBy + one equi-join — the same shuffle shape as a propagation
+    * round — but the component shrinks like pointer doubling, so a
+    * PATH of length n converges in O(log n) rounds where min-label
+    * propagation needs n (DedupCCSpec pins this on a 64-chain).
+    * Fixed point = every component a star rooted at its minimum id. */
+  def connectedComponentsAltStar(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val nodes = edges.toDF("src", "dst")
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val j = s.join(mins, "u")
+      val base =
+        if (large) j.filter(col("v") > col("u"))
+        else j.filter(col("v") <= col("u"))
+      val out = base.select(col("v").as("u"), col("m").as("v"))
+      val withSelf =
+        if (large) out
+        else out.union(mins.select(col("u"), col("m").as("v")))
+      withSelf.filter(col("u") =!= col("v")).distinct()
+    }
+
+    var e = edges.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      done = canon(next).except(canon(e)).isEmpty &&
+        canon(e).except(canon(next)).isEmpty
+      e = next
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsAltStar: not converged after $maxRounds rounds — " +
+        "O(log n) bound exceeded; raise maxRounds")
+    // fixed point is (node → component-min) star edges; re-attach roots
+    // and any isolated nodes as their own component
+    nodes.join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Near-dup cluster assignment: connected components over the d02 pair

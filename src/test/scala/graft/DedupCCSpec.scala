@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.DedupOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components: the alt-star doubling path vs min-label
+  * propagation, and the rounds-budget crossover between them. */
+class DedupCCSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+  import spark.implicits._
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alt-star converges on a 64-chain within an O(log n) budget") {
+    // path 1-2-...-64: diameter 63. Min-label needs 63 rounds; the
+    // doubling form must settle well inside 12.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = labels(DedupOps.connectedComponentsAltStar(chain, maxRounds = 12))
+    assert(got.keySet == (1L to 64L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents crosses over to alt-star past the budget") {
+    // default crossoverAfter = 8 < diameter, so propagation alone would
+    // have thrown pre-crossover; now it must hand off and still be right
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = labels(DedupOps.connectedComponents(chain))
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("alt-star labels equal propagation labels on a multi-component graph") {
+    val rnd = new scala.util.Random(11)
+    // several blobs + a chain + isolated pair, shuffled ids
+    val edges = (
+      Seq.fill(60)((rnd.nextInt(15).toLong + 1, rnd.nextInt(15).toLong + 1)) ++
+        (20L until 30L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L))
+      ).filter { case (a, b) => a != b }.toDF("src", "dst")
+    val viaProp = labels(DedupOps.connectedComponents(
+      edges, maxRounds = 100, crossoverAfter = 100))
+    val viaStar = labels(DedupOps.connectedComponentsAltStar(edges))
+    assert(viaStar == viaProp)
+  }
+}
