@@ -22,18 +22,28 @@ object SkewOps {
     * over `salts` sub-partitions per key and the small side replicated
     * `salts`×. The hot key's probe rows land on `salts` tasks instead of
     * one; cost is a bounded small-side blow-up (rows × salts), the
-    * standard trade. The salt is a deterministic hash of the big row's
-    * content — no rand(), so retries and re-runs stay stable. Inner
+    * standard trade. The salt hashes the row's content TOGETHER WITH its
+    * physical position (monotonically_increasing_id = partition id +
+    * in-partition index): content alone would send exact-duplicate hot
+    * rows — the nastiest real skew, a crawled boilerplate page repeated
+    * a million times — to one salt. No rand(): position is stable for a
+    * fixed input layout, so retries and re-runs route identically. The
+    * salt only routes; the join RESULT is position-independent. Inner
     * joins only (replication would duplicate unmatched outer rows). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val saltedBig = big.withColumn("__salt", saltCol(big, salts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The routing salt for [[saltedJoin]]'s big side (exposed for the
+    * duplicate-hot-row spread test). */
+  private[graft] def saltCol(big: DataFrame, salts: Int) =
+    pmod(xxhash64(struct(big.columns.map(col): _*),
+      monotonically_increasing_id()), lit(salts)).cast("int")
 
   // ---------------------------------------------------------------- j02
   /** Order-priority revenue through a salted lineitem⋈orders join. The

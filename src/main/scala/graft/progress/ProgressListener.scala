@@ -46,13 +46,44 @@ final class ProgressListener extends SparkListener {
     stageFailed.putIfAbsent(id, new AtomicLong())
   }
 
+  private val bytesRead = new AtomicLong()
+  private val recordsRead = new AtomicLong()
+  private val bytesWritten = new AtomicLong()
+  private val recordsWritten = new AtomicLong()
+
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val id = e.stageId
     stageDone.putIfAbsent(id, new AtomicLong())
     stageFailed.putIfAbsent(id, new AtomicLong())
     if (e.reason == org.apache.spark.Success) stageDone.get(id).incrementAndGet()
     else stageFailed.get(id).incrementAndGet()
+    // ingest/egest byte counters (reference S4: FileTask percent for
+    // store/retrieve — file_operation.ex:48-50, models/file_task.ex:43-58).
+    // Task metrics are the per-split analog of the reference's per-chunk
+    // counter; summing them as tasks finish gives the same monotonic
+    // percent signal, polled while a read or write job runs.
+    Option(e.taskMetrics).foreach { m =>
+      bytesRead.addAndGet(m.inputMetrics.bytesRead)
+      recordsRead.addAndGet(m.inputMetrics.recordsRead)
+      bytesWritten.addAndGet(m.outputMetrics.bytesWritten)
+      recordsWritten.addAndGet(m.outputMetrics.recordsWritten)
+    }
   }
+
+  final case class IngestProgress(bytesRead: Long, recordsRead: Long,
+      bytesWritten: Long, recordsWritten: Long) {
+    /** FileTask-style percent of an expected byte total (store = expected
+      * output size, retrieve = source file size). */
+    def percentOf(expectedBytes: Long, written: Boolean = true): Double =
+      if (expectedBytes <= 0) 100.0
+      else math.min(100.0,
+        (if (written) bytesWritten else bytesRead) * 100.0 / expectedBytes)
+  }
+
+  /** Cumulative IO counters across finished tasks. */
+  def ingest(): IngestProgress =
+    IngestProgress(bytesRead.get(), recordsRead.get(),
+      bytesWritten.get(), recordsWritten.get())
 
   /** Per-stage progress in the reference's `%{map: {done,total}}` spirit. */
   def snapshot(): Map[Int, PhaseProgress] = {

@@ -28,4 +28,25 @@ class ProgressListenerSpec extends AnyFunSuite {
     val (active, completed, failed) = l.jobCounts
     assert(active == 0 && completed >= 1 && failed == 0)
   }
+
+  test("ingest counters track a write job's bytes and records (S4 parity)") {
+    val l = ProgressListener.attach(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    spark.range(5000).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(dir)
+
+    val deadline = System.currentTimeMillis() + 30000
+    while (l.ingest().recordsWritten < 5000 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+    val io = l.ingest()
+    assert(io.recordsWritten == 5000L)
+    assert(io.bytesWritten > 0L)
+    // percent against the real on-disk size: complete job = 100%
+    val size = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    assert(io.percentOf(size) >= 99.0)
+    assert(io.percentOf(0) == 100.0)
+  }
 }

@@ -27,10 +27,26 @@ class SkewOpsSpec extends AnyFunSuite {
   test("salting spreads the hot key across shuffle partitions") {
     import spark.implicits._
     val big = spark.range(0, 1000).select(lit(1L).as("k"), col("id").as("payload"))
-    // the deterministic row-content salt must actually fan out
-    val salts = big.withColumn("s",
-      pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+    val salts = big.withColumn("s", SkewOps.saltCol(big, 8))
       .select(countDistinct("s")).as[Long].head()
     assert(salts == 8)
+  }
+
+  test("exact-duplicate hot rows spread too, and the join stays exact") {
+    import spark.implicits._
+    // one partition of 1000 BYTE-IDENTICAL rows: a content-only salt
+    // would put all of them on a single salt value
+    val big = spark.range(0, 1000).coalesce(1)
+      .select(lit(1L).as("k"), lit("same-payload").as("payload"))
+    val salts = big.withColumn("s", SkewOps.saltCol(big, 8))
+      .select(countDistinct("s")).as[Long].head()
+    assert(salts == 8)
+
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = SkewOps.saltedJoin(big, small, "k", salts = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() == 1000L)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 }
