@@ -25,6 +25,25 @@ object Tables {
     else raw
   }
 
+  /** TPC-H money columns, per table, for the exact-decimal read path. */
+  val moneyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_extendedprice", "l_discount", "l_tax"),
+    "orders" -> Seq("o_totalprice"),
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"),
+    "part" -> Seq("p_retailprice"))
+
+  /** Like [[df]], with money columns cast to DECIMAL(12,2) at the scan —
+    * the exact-money option for 100 TB accounting jobs where double
+    * summation error and cross-engine rounding ties (the q35 class of
+    * bug) are unacceptable. TESTDATA stores these as double with 2-digit
+    * values, so the cast is lossless; a production table would carry the
+    * decimal type in the parquet schema and skip it. */
+  def dfDecimal(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    moneyCols.getOrElse(name, Nil).foldLeft(df(spark, sfDir, name)) {
+      (d, c) => d.withColumn(c, d(c).cast("decimal(12,2)"))
+    }
+
   /** Register all tables as temp views named after the table (idempotent).
     * Lets catalog queries use `spark.table("lineitem")` / `spark.sql`.
     */

@@ -543,22 +543,46 @@ object Relational {
       ORDER BY l_linestatus"""))
 
   // ---------------------------------------------------------------- q26
-  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
-    * percentiles. Sketch internals differ between engines, so there is no
-    * SQL oracle — the rows-only gate applies and ApproxAggSpec bounds the
-    * estimates against exact values instead. At 100 TB these replace
-    * exact distinct counts (full shuffle of the key space) with
-    * constant-size mergeable state. */
+  /** Distinct-count + percentile-sketch profile, fully oracled.
+    *
+    * Two deterministic halves: exact `count(distinct)` (plain SQL on both
+    * engines), and `approx_percentile` run at an accuracy above the group
+    * size — the Greenwald-Khanna sketch is then exact and returns the
+    * ascending element at 1-based rank ceil(p·N), which the DuckDB oracle
+    * replicates with a per-group row_number selection (same technique as
+    * t14). The HLL++ `approx_count_distinct` variant of this query is
+    * engine-specific by construction and stays pinned by tolerance bounds
+    * in ApproxAndIvfSpec instead; at 100 TB that sketch (or a lower
+    * percentile accuracy) is what replaces the exact distinct's full
+    * key-space shuffle. */
   val q26 = Q("q26_approx_aggs",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000000)").as("median_price"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rk,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      med AS (
+        SELECT l_returnflag, l_extendedprice AS median_price
+        FROM ranked WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)),
+      d AS (
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        GROUP BY l_returnflag)
+      SELECT d.l_returnflag, d.n_orders, d.n_parts, m.median_price
+      FROM d JOIN med m USING (l_returnflag)
+      ORDER BY d.l_returnflag"""))
 
   // ---------------------------------------------------------------- q27
   /** RANGE window frame: per-customer trailing-30-day spend. The frame is
@@ -757,7 +781,48 @@ object Relational {
       WHERE rn = 1
       ORDER BY name_a"""))
 
+  // ---------------------------------------------------------------- q36
+  /** q01's pricing summary through the exact-decimal money path
+    * ([[Tables.dfDecimal]]): every price term is DECIMAL(12,2), the
+    * discount/tax factors are cast to DECIMAL(12,2) before multiplying,
+    * and all sums aggregate exact decimal — no double summation error,
+    * no cross-engine rounding ties (the q35 bug class is impossible by
+    * construction). Only the FINAL aggregates cast to double, a
+    * correctly-rounded conversion identical on both engines. Decimal
+    * arithmetic stays whole-stage-codegen'd in Spark, so the scan shape
+    * and shuffle profile match q01's exactly. */
+  val q36 = Q("q36_decimal_pricing",
+    (s, dir) => {
+      val li = Tables.dfDecimal(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+      val disc1 = (lit(1) - col("l_discount")).cast("decimal(12,2)")
+      val tax1 = (lit(1) + col("l_tax")).cast("decimal(12,2)")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_extendedprice").cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice") * disc1).cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice") * disc1 * tax1).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1 - l_discount AS DECIMAL(12,2)) *
+                      CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_charge,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36)
 }

@@ -14,7 +14,13 @@ class ApproxAndIvfSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("approx_count_distinct within 10% of exact; approx median within range") {
-    val approx = Queries.byName("q26_approx_aggs").build(spark, dir)
+    // the genuinely-approximate sketch variant (catalog q26 runs the
+    // oracle-exact form: exact distincts + exact-accuracy percentile)
+    val approx = Tables.df(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     val exact = Tables.df(spark, dir, "lineitem")
       .groupBy("l_returnflag")
