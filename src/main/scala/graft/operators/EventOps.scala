@@ -297,5 +297,48 @@ object EventOps {
       GROUP BY 1, 2
       ORDER BY cohort, day_offset"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  // ---------------------------------------------------------------- e09
+  /** Sessionization via Spark's NATIVE `session_window` aggregate — the
+    * operator-level twin of e02's hand-rolled gaps-and-islands window.
+    * One hash aggregate with in-memory session merging per group, no
+    * lag/running-sum window pair, and the identical formulation carries
+    * to Structured Streaming unchanged (EventStreams sessionizes the
+    * same way with watermarks). Window end = last event + gap, and a
+    * gap of EXACTLY 30:00 starts a new session (windows merge only when
+    * they strictly overlap) — the oracle encodes both conventions. */
+  val e09 = Q("e09_session_window_native",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start"),
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM t),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, sess_start"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

@@ -822,7 +822,101 @@ object Relational {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  // ---------------------------------------------------------------- q37
+  /** Stratified sampling with per-stratum rates — the TABLESAMPLE /
+    * `sampleBy` shape, but keyed on a digest instead of rand() so the
+    * sample is reproducible across engines, re-runs, and repartitioning
+    * (exactly the property the oracle exploits; rand()-based TABLESAMPLE
+    * is checkable only in expectation). Scan-local filter + bounded-key
+    * aggregate: nothing here scales with anything but the scan. The
+    * digest-mod-10000 uniformizer is the t13 k-fold trick. */
+  val q37 = Q("q37_stratified_sample",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("u",
+          pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(10000)))
+        .filter(
+          (col("o_orderstatus") === "F" && col("u") < 1000) ||
+            (col("o_orderstatus") === "O" && col("u") < 500) ||
+            (col("o_orderstatus") === "P" && col("u") < 5000))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("o_totalprice"), 2).as("sampled_total"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      WITH u AS (
+        SELECT o_orderstatus, o_totalprice,
+               CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 AS BIGINT) AS u
+        FROM orders)
+      SELECT o_orderstatus, count(*) AS n_sampled,
+             round(sum(o_totalprice), 2) AS sampled_total
+      FROM u
+      WHERE (o_orderstatus = 'F' AND u < 1000)
+         OR (o_orderstatus = 'O' AND u < 500)
+         OR (o_orderstatus = 'P' AND u < 5000)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q38
+  /** Correlated scalar subquery: customers within 10% of their nation's
+    * top account balance. Catalyst decorrelates the subquery into an
+    * aggregate + join — the plan to check is that no per-row subquery
+    * execution survives. The threshold multiplies MAX (order-independent,
+    * so bit-identical across engines); an avg-based threshold would be
+    * summation-order tie-prone at the boundary. */
+  val q38 = Q("q38_scalar_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q38_customer")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_top,
+               round(min(c_acctbal), 2) AS min_top_bal
+        FROM q38_customer c
+        WHERE c_acctbal >= 0.9 * (SELECT max(c2.c_acctbal)
+                                  FROM q38_customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    },
+    Some("""
+      SELECT c_nationkey, count(*) AS n_top,
+             round(min(c_acctbal), 2) AS min_top_bal
+      FROM customer c
+      WHERE c_acctbal >= 0.9 * (SELECT max(c2.c_acctbal)
+                                FROM customer c2
+                                WHERE c2.c_nationkey = c.c_nationkey)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
+  // ---------------------------------------------------------------- q39
+  /** GROUPING SETS with an explicit grouping-id: detail, per-status, and
+    * grand-total rows in one pass (one shuffle, expand-based — not three
+    * scans unioned). NULL group keys are coalesced to 'ALL' so ordering
+    * needs no NULLS FIRST/LAST reconciliation between engines, and the
+    * gid is composed from grouping() bits identically on both sides. */
+  val q39 = Q("q39_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q39_orders")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM q39_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, status, priority""")
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, status, priority"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39)
 }
