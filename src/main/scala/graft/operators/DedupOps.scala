@@ -518,5 +518,73 @@ object DedupOps {
       HAVING count(*) >= 3
       ORDER BY bench_id, doc_id"""))
 
-  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  // ---------------------------------------------------------------- d09
+  /** ASYMMETRIC containment self-join: ordered pairs (a, b) where at
+    * least `threshold` of a's distinct words also appear in b. This is
+    * the subset-duplicate detector the symmetric Jaccard family cannot
+    * express: a paragraph quoted whole inside a 10× longer page has
+    * J ≈ 0.1 but containment 1.0 — exactly the "document swallowed by a
+    * boilerplate wrapper" case a corpus dedup pass must catch.
+    *
+    * Same pigeonhole as d07, applied one-sided: if fewer than
+    * ⌈t·|A|⌉ of A's tokens are missing from B, A must share one of its
+    * `|A| − ⌈t·|A|⌉ + 1` globally-rarest tokens with B — so A explodes
+    * only that rare prefix while B contributes its FULL posting list
+    * (the superset side cannot be pruned, its membership is the
+    * question). A size guard |B| ≥ t·|A| prunes before the exact
+    * verify. |A∩B| is recovered EXACTLY from the verified Jaccard:
+    * I = J·(|A|+|B|)/(1+J) is an integer identity, and the double
+    * round-trip error (~1e-16·I) dies under round(). Containment is
+    * then the same I/|A| division of the same integers on both engines
+    * — bit-identical, so the 0.9 threshold cannot flake. */
+  private[operators] def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val sets = hashedWordSets(s, dir)
+    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
+        first(col("sz")).as("sz"))
+    val pref = ordered
+      .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(ord, 1, p)")).as("pt"))
+      .select(col("doc_id"), col("sz"), col("pt.h").as("h"))
+    val cand = pref.alias("x").join(tok.alias("y"), Seq("h"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        col("y.sz") >= col("x.sz") * threshold - 1e-9)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("sz").as("sza")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("sz").as("szb")), "doc_b")
+      .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
+      .withColumn("inter",
+        round(col("jac") * (col("sza") + col("szb")) / (col("jac") + 1.0), 0))
+      .withColumn("containment", col("inter") / col("sza"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  val d09 = Q("d09_containment",
+    (s, dir) =>
+      containmentPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4) AS containment
+      FROM w a JOIN w b ON a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
+      ORDER BY doc_a, doc_b"""))
+
+  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

@@ -156,6 +156,48 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(truth.size > 10, s"generator degenerate: only ${truth.size} true pairs")
   }
 
+  test("d09 containment finds subset dups that Jaccard misses, matches quadratic truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 500).map(i => s"c$i")
+    val big = rnd.shuffle(vocab).take(60)
+    val docsLocal =
+      // doc 0: the big page; doc 1: a strict 12-word subset (containment
+      // 1.0, Jaccard 0.2 — invisible to d02/d07); docs 2+: random noise
+      // plus template mutations straddling the threshold
+      Seq((0L, big.mkString(" ")), (1L, big.take(12).mkString(" "))) ++
+        (2L until 30L).map { id =>
+          val words = big.toArray
+          (0 until rnd.nextInt(8)).foreach { _ =>
+            words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+          }
+          (id, words.mkString(" "))
+        }
+    val d = java.nio.file.Files.createTempDirectory("graft-d09").toString
+    docsLocal.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+
+    // exact quadratic ordered-pair ground truth
+    val w = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(text,' '), x -> x != ''))").as("s"))
+    val truth = w.alias("a").join(w.alias("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("cont",
+        size(expr("array_intersect(a.s, b.s)")).cast("double") / size(col("a.s")))
+      .filter(col("cont") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Queries.byName("d09_containment").build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    assert(got.contains((1L, 0L)), "strict subset pair must be found")
+    // ...and the symmetric Jaccard join rightly does NOT see it
+    val jpairs = Queries.byName("d07_allpairs_jaccard").build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jpairs.contains((1L, 0L)))
+  }
+
   test("d07 prefix-filter join returns exactly the d02 pair set") {
     val d02 = Queries.byName("d02_minhash_lsh").build(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
