@@ -526,5 +526,50 @@ object TextOps {
       GROUP BY decile
       ORDER BY decile"""))
 
-  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+  // ---------------------------------------------------------------- t15
+  /** Sequence packing: assign whole documents to fixed-budget training
+    * sequences (8192 tokens) — the pretraining batch-construction step.
+    * Documents are packed in doc_id order WITHIN 8 independent shards
+    * (doc_id mod 8): each shard runs its own running token sum and cuts a
+    * new pack when the budget would overflow at the doc's START offset
+    * (`floor((cumsum − n)/8192)` — the streaming first-fit boundary).
+    * Sharding is what makes this a scale plan: one global cumsum is a
+    * single-task total order, but per-shard windows parallelize freely
+    * and packs never cross shards, which is exactly how a real packing
+    * job distributes. Output profiles each pack (docs, tokens). */
+  val t15 = Q("t15_sequence_pack",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          size(tokensExpr).cast("long").as("n"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("pack", floor((col("cum") - col("n")) / 8192L))
+        .groupBy("shard", "pack")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .orderBy("shard", "pack")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT shard, n,
+               sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(floor((cum - n) / 8192) AS BIGINT) AS pack,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM c
+      GROUP BY shard, pack
+      ORDER BY shard, pack"""))
+
+  val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t11, t12, t13, t14, t15)
 }

@@ -201,4 +201,25 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L, 5L))
   }
+
+  test("rate-micro-batch source drives a bucketed aggregation, one deterministic batch") {
+    // Spark's built-in synthetic load source — the streaming smoke/bench
+    // harness shape. rate-micro-batch emits exactly rowsPerBatch rows per
+    // micro-batch (deterministic, unlike wall-clock `rate`), and Once
+    // bounds the run to batch 0 — no sleeps, no flake.
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 64)
+      .load() // (timestamp, value) schema
+      .withColumn("bucket", pmod(col("value"), lit(8L)))
+      .groupBy("bucket").count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("rate_demo")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("rate_demo")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 7L).toSet)
+    assert(got.values.forall(_ == 8L)) // 64 values round-robin 8 buckets
+  }
 }
