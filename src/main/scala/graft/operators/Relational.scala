@@ -833,6 +833,10 @@ object Relational {
   val q37 = Q("q37_stratified_sample",
     (s, dir) =>
       t(s, dir, "orders")
+        // the IN-list is implied by the OR below, but Catalyst won't
+        // derive it — stated explicitly it reaches the scan as a
+        // pushed filter, so non-sampled strata prune at the row-group
+        .filter(col("o_orderstatus").isin("F", "O", "P"))
         .withColumn("u",
           pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
             .cast("long"), lit(10000)))
