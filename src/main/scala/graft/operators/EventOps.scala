@@ -303,9 +303,12 @@ object EventOps {
     * One hash aggregate with in-memory session merging per group, no
     * lag/running-sum window pair, and the identical formulation carries
     * to Structured Streaming unchanged (EventStreams sessionizes the
-    * same way with watermarks). Window end = last event + gap, and a
-    * gap of EXACTLY 30:00 starts a new session (windows merge only when
-    * they strictly overlap) — the oracle encodes both conventions. */
+    * same way with watermarks). Window end = last event + gap, and an
+    * event EXACTLY 30:00 after its predecessor still merges into the
+    * session (a new one starts only when the gap is strictly exceeded —
+    * pinned against constructed boundary data in EventOpsSpec, since
+    * the real corpus never lands on the exact boundary and the oracle
+    * alone cannot see the convention). */
   val e09 = Q("e09_session_window_native",
     (s, dir) =>
       ev(s, dir)
@@ -324,7 +327,7 @@ object EventOps {
         FROM events),
       f AS (
         SELECT user_id, ts,
-               CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM t),
       sess AS (
