@@ -25,7 +25,10 @@ import java.nio.ByteBuffer
   *
   * Ties on sortKey are broken by payload, so the kept set is total-order
   * deterministic — byte-identical to the window formulation with the
-  * same `orderBy(sort, payload)` clause.
+  * same `orderBy(sort, payload)` clause. Payloads should be UNIQUE per
+  * group (a row id): if the K-boundary falls inside a run of fully
+  * identical (sortKey, payload) pairs, which of the duplicates is kept
+  * is arbitrary on both formulations.
   */
 case class TopKAgg(
     sortKey: Expression,

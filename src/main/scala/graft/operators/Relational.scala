@@ -920,7 +920,44 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY gid, status, priority"""))
 
+  // ---------------------------------------------------------------- q40
+  /** Window NAVIGATION functions — lag/lead deltas and positional picks
+    * (first/nth within a growing frame) over each customer's order
+    * history; the time-series feature-engineering shapes (previous-value
+    * delta, next-value peek, k-th reference point) the rank/sum windows
+    * of q08/q09/q27 don't cover. Ordered by (custkey, orderkey) — a
+    * unique key — so every navigation is tie-free on both engines. */
+  val q40 = Q("q40_window_navigation",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2)
+            .as("delta_prev"),
+          round(lead("o_totalprice", 1).over(w) - col("o_totalprice"), 2)
+            .as("delta_next"),
+          round(first("o_totalprice").over(grow), 2).as("first_price"),
+          round(nth_value(col("o_totalprice"), 3).over(grow), 2).as("third_price"))
+        .filter(col("o_custkey") % 20 === 0)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+             round(lead(o_totalprice, 1) OVER w - o_totalprice, 2) AS delta_next,
+             round(first_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price,
+             round(nth_value(o_totalprice, 3) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      QUALIFY o_custkey % 20 = 0
+      ORDER BY o_custkey, o_orderkey"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40)
 }
