@@ -152,6 +152,20 @@ object EventStreams {
         col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Stream-STATIC enrichment join: each streaming event picks up its
+    * user's dimension row. The static side is a bounded batch DataFrame,
+    * so Spark broadcasts it to every micro-batch task — no watermark, no
+    * join state, no shuffle of the stream; the dimension is re-resolved
+    * per micro-batch, so a refreshed dim table is picked up without
+    * restarting the query. This is the third join shape next to
+    * stream-stream ([[clickPurchaseJoin]]) and batch-batch (catalog):
+    * the fact-to-dimension lookup a 100 TB/day event feed does
+    * constantly. Inner by default; `left_outer` keeps unmatched events
+    * (allowed because only the STREAM side may have unmatched rows). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "user_id",
+      joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Streaming exact deduplication: emit the first occurrence of each
     * content digest, dropping repeats that arrive within the watermark
     * horizon — the streaming counterpart of the batch d01 operator, i.e.

@@ -202,6 +202,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L, 5L))
   }
 
+  test("stream-static enrichment joins each event to its broadcast dim row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 1.0),
+      Event(3, ts(2), 9, "click", 1.0)) // user 9 has no dim row
+    val q = EventStreams.enrichWithDim(stream.toDF(), dim, joinType = "left_outer")
+      .select("event_id", "tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None))
+  }
+
   test("rate-micro-batch source drives a bucketed aggregation, one deterministic batch") {
     // Spark's built-in synthetic load source — the streaming smoke/bench
     // harness shape. rate-micro-batch emits exactly rowsPerBatch rows per
