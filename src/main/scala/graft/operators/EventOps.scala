@@ -343,5 +343,28 @@ object EventOps {
       GROUP BY user_id, sid
       ORDER BY user_id, sess_start"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  // ---------------------------------------------------------------- e10
+  /** Structured JSON parsing with `from_json` — the schema-full parser
+    * (codegen'd Jackson, one parse per row, all fields in one pass)
+    * where e03's regex extraction is the schema-free probe. At 100 TB
+    * the difference matters: from_json amortizes one parse across every
+    * extracted field and fails typed (null on malformed) instead of
+    * silently matching garbage. */
+  val e10 = Q("e10_json_parse_native",
+    (s, dir) =>
+      ev(s, dir)
+        .select(expr("from_json(props, 'k INT').k").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_bucket"),
+    Some("""
+      WITH t AS (
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+      SELECT CAST(k % 10 AS BIGINT) AS k_bucket,
+             count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      FROM t
+      GROUP BY k_bucket
+      ORDER BY k_bucket"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }

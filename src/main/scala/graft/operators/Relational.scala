@@ -957,7 +957,35 @@ object Relational {
       QUALIFY o_custkey % 20 = 0
       ORDER BY o_custkey, o_orderkey"""))
 
+  // ---------------------------------------------------------------- q41
+  /** UNPIVOT — the inverse of q25's pivot: a wide per-status metrics row
+    * melts into (status, metric, value) long form, the shape feature
+    * stores and metric pipelines ingest. Spark's `unpivot` is a
+    * zero-shuffle Expand over the aggregate (3 output rows per input
+    * row); all measures cast to a common double first, as the operator
+    * requires one value type. */
+  val q41 = Q("q41_unpivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+          round(avg("o_totalprice"), 2).as("avg_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("total_price"), col("avg_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric"),
+    Some("""
+      UNPIVOT (SELECT o_orderstatus,
+                      CAST(count(*) AS DOUBLE) AS n_orders,
+                      round(sum(o_totalprice), 2) AS total_price,
+                      round(avg(o_totalprice), 2) AS avg_price
+               FROM orders GROUP BY o_orderstatus)
+      ON n_orders, total_price, avg_price
+      INTO NAME metric VALUE value
+      ORDER BY o_orderstatus, metric"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40, q41)
 }
