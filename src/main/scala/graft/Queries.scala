@@ -31,7 +31,8 @@ object Queries {
       operators.MergeOps.queries ++
       operators.GraphOps.queries ++
       operators.MultimodalOps.queries ++
-      operators.MapReduceQueries.queries
+      operators.MapReduceQueries.queries ++
+      operators.ValidateOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

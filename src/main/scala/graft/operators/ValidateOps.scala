@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-expectation validation — the contract gate a pipeline runs
+  * before (and after) every expensive stage: key uniqueness, domain
+  * membership, null budgets, range checks, all measured in ONE
+  * aggregate pass over the table (every expectation is a conditional
+  * count, so the whole suite partial-aggregates and adds nothing beyond
+  * the single scan it rides). The reference has no validation surface
+  * beyond its result-format taxonomy (SURVEY §2.2 M3) — this is the
+  * dataset-side counterpart.
+  */
+object ValidateOps {
+
+  /** One expectation: a name plus a violation predicate; `violations`
+    * counts rows where the predicate holds. */
+  final case class Expect(name: String, violation: Column)
+
+  /** Single-pass violation counts, one output column per expectation,
+    * plus row and distinct-key counts for the uniqueness check. */
+  def check(df: DataFrame, keyCol: String, expectations: Seq[Expect]): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("n_distinct_keys")) ++
+      expectations.map(e => sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------- v01
+  /** Orders-table contract: unique keys, positive prices, status and
+    * priority in their domains, no null dates — the wide one-row report
+    * with an overall pass flag. */
+  val v01 = Q("v01_data_expectations",
+    (s, dir) => {
+      val checked = check(Tables.df(s, dir, "orders"), "o_orderkey", Seq(
+        Expect("n_nonpositive_price", col("o_totalprice") <= 0),
+        Expect("n_bad_status", !col("o_orderstatus").isin("F", "O", "P")),
+        Expect("n_bad_priority",
+          !col("o_orderpriority").rlike("^[1-5]-(URGENT|HIGH|MEDIUM|NOT SPECIFIED|LOW)$")),
+        Expect("n_null_date", col("o_orderdate").isNull)))
+      checked.select(col("*"),
+        (col("n_distinct_keys") === col("n_rows") &&
+          col("n_nonpositive_price") === 0 && col("n_bad_status") === 0 &&
+          col("n_bad_priority") === 0 && col("n_null_date") === 0)
+          .cast("long").as("all_pass"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_distinct_keys,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nonpositive_price,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad_status,
+               CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                 '^[1-5]-(URGENT|HIGH|MEDIUM|NOT SPECIFIED|LOW)$') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad_priority,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_date
+        FROM orders)
+      SELECT *,
+             CAST(n_distinct_keys = n_rows AND n_nonpositive_price = 0
+                  AND n_bad_status = 0 AND n_bad_priority = 0
+                  AND n_null_date = 0 AS BIGINT) AS all_pass
+      FROM c"""))
+
+  val queries: Seq[Q] = Seq(v01)
+}
