@@ -102,5 +102,87 @@ object GraphOps {
       FROM e e1 JOIN e e2 ON e1.b = e2.a
                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
-  val queries: Seq[Q] = Seq(g01)
+  /** Personalized PageRank: power iteration on r = (1−d)·p + d·AᵀDr,
+    * where the teleport vector p is uniform over `seeds` instead of all
+    * nodes — the "what's relevant to THIS set" primitive (seed-expanding
+    * a trusted-document set, finding parts associated with a supplier
+    * cohort). r₀ = p, absent ranks are 0 (standard PPR, unlike the
+    * reference-semantics mr02 whose missing ranks default to 1.0).
+    * Dangling mass is dropped, not redistributed — documented and
+    * mirrored in the oracle.
+    *
+    * Scale shape per iteration: one equi-join of edges to the current
+    * rank vector (AQE-broadcast when the reachable frontier is small —
+    * the common PPR case) + one partial-agg sum; the driver loop holds
+    * no data. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val teleport = seeds.toDF("page").distinct()
+      .withColumn("tp", lit(1.0 / nSeeds))
+    var ranks = teleport.select(col("page"), col("tp").as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = e.join(deg, "src")
+        .join(ranks.withColumnRenamed("page", "src"), Seq("src"))
+        .select(col("dst").as("page"),
+          (lit(damping) * col("rank") / col("d")).as("c"))
+      ranks = teleport
+        .select(col("page"), (col("tp") * (1.0 - damping)).as("c"))
+        .union(contribs)
+        .groupBy("page").agg(sum("c").as("rank"))
+      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  // ---------------------------------------------------------------- g02
+  /** 2-iteration personalized PageRank over the supplier→part graph,
+    * seeded on every 10th supplier — the parts most associated with the
+    * seed cohort surface first. Oracle: both iterations unrolled in SQL
+    * (the mr02 discipline, with the PPR teleport/default-0 semantics). */
+  val g02 = Q("g02_personalized_pagerank",
+    (s, dir) => {
+      val li = graft.Tables.df(s, dir, "lineitem")
+      val edges = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+      val seeds = li.filter(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct()
+      personalizedPageRank(edges, seeds, iterations = 2)
+        .select(col("page"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("page"))
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS tgt
+        FROM lineitem),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      seeds AS (
+        SELECT DISTINCT 's' || l_suppkey AS page FROM lineitem
+        WHERE l_suppkey % 10 = 0),
+      ns AS (SELECT count(*) AS n FROM seeds),
+      r0 AS (SELECT page, 1.0 / (SELECT n FROM ns) AS rank FROM seeds),
+      r1 AS (
+        SELECT page, sum(c) AS rank FROM (
+          SELECT page, 0.15 / (SELECT n FROM ns) AS c FROM seeds
+          UNION ALL
+          SELECT e.tgt, 0.85 * r0.rank / d.d
+          FROM edges e JOIN deg d ON e.src = d.src
+                       JOIN r0 ON r0.page = e.src) t
+        GROUP BY page),
+      r2 AS (
+        SELECT page, sum(c) AS rank FROM (
+          SELECT page, 0.15 / (SELECT n FROM ns) AS c FROM seeds
+          UNION ALL
+          SELECT e.tgt, 0.85 * r1.rank / d.d
+          FROM edges e JOIN deg d ON e.src = d.src
+                       JOIN r1 ON r1.page = e.src) t
+        GROUP BY page)
+      SELECT page, round(rank, 8) AS rank
+      FROM r2
+      ORDER BY rank DESC, page"""))
+
+  val queries: Seq[Q] = Seq(g01, g02)
 }
