@@ -160,5 +160,62 @@ object MultimodalOps {
       FROM chunks
       ORDER BY doc_id, chunk_idx"""))
 
-  val queries: Seq[Q] = Seq(m01, m02, m03, m04)
+  // ---------------------------------------------------------------- m05
+  /** Modality-balanced batch interleave: place samples so every training
+    * batch draws all modalities round-robin, instead of long runs of one
+    * modality (which wreck multimodal training dynamics). Deterministic
+    * formulation: within each of 4 shards, rank each modality's samples
+    * by digest, then global position = rank·3 + modality-index — a
+    * perfect 1:1:1 interleave until a modality exhausts. Batches of 30
+    * are profiled per modality to verify balance. Sharding bounds every
+    * per-(shard, modality) ranking window — more shards = more
+    * parallelism, the t15 discipline; modality here is synthesized from
+    * doc_id (the container carries no media column) — the plumbing, not
+    * the decode, is what this pins. */
+  val m05 = Q("m05_modality_interleave",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard", "modality")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).as("shard"),
+          pmod(col("doc_id"), lit(3)).as("m_idx"))
+        .withColumn("modality",
+          element_at(array(lit("text"), lit("image"), lit("audio")),
+            col("m_idx").cast("int") + 1))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("pos", (col("rk") - 1) * 3 + col("m_idx"))
+        .withColumn("batch", floor(col("pos") / 30))
+        .groupBy("shard", "batch")
+        .agg(
+          sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio"),
+          count(lit(1)).as("n_total"))
+        .orderBy("shard", "batch")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 4 AS shard, doc_id % 3 AS m_idx,
+               CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                    ELSE 'audio' END AS modality
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY shard, modality
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM t),
+      p AS (
+        SELECT shard, modality, (rk - 1) * 3 + m_idx AS pos FROM r)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(floor(pos / 30) AS BIGINT) AS batch,
+             CAST(sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+             CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+             CAST(sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+             count(*) AS n_total
+      FROM p
+      GROUP BY shard, batch
+      ORDER BY shard, batch"""))
+
+  val queries: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }
