@@ -31,6 +31,21 @@ class GraphOpsSpec extends AnyFunSuite {
       tri(GraphOps.triangleCountDegreeOrdered(redges)))
   }
 
+  test("personalized PageRank matches hand computation on a 2-node graph") {
+    // seed {1}, edge 1→2. r0 = {1: 1.0}.
+    // iter1: teleport 1→0.15; contrib 2 ← 0.85·1.0/1 → {1: 0.15, 2: 0.85}
+    // iter2: teleport 1→0.15; contrib 2 ← 0.85·0.15   → {1: 0.15, 2: 0.1275}
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val r1 = GraphOps.personalizedPageRank(edges, seeds, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(close(r1(1L), 0.15) && close(r1(2L), 0.85) && r1.size == 2)
+    val r2 = GraphOps.personalizedPageRank(edges, seeds, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(close(r2(1L), 0.15) && close(r2(2L), 0.1275) && r2.size == 2)
+  }
+
   test("degree ordering collapses the hub's wedge fan-out") {
     // star with a MIDDLE-id hub (100), 40 leaves below and 40 above: zero
     // triangles, but the id-canonical wedge join enumerates every
