@@ -422,22 +422,7 @@ object DedupOps {
     * quadratic stage. */
   private[operators] def prefixFilterPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
-    val sets = hashedWordSets(s, dir)
-    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc token order: (df asc, h asc) — one consistent global order
-    val ordered = tok.join(dfreq, "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
-        first(col("sz")).as("sz"))
-    // prefix length p = sz − ⌈t·sz⌉ + 1; the 1e-9 nudge keeps a float
-    // ceil from rounding UP on exact multiples (shorter prefix = lost
-    // completeness; a longer one only adds candidates the verify culls)
-    val pref = ordered
-      .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
-      .select(col("doc_id"), col("sz"),
-        explode(expr("slice(ord, 1, p)")).as("pt"))
-      .select(col("doc_id"), col("sz"), col("pt.h").as("h"))
+    val pref = rarityPrefix(hashedWordSets(s, dir), threshold)
     val cand = pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
@@ -537,20 +522,32 @@ object DedupOps {
     * round-trip error (~1e-16·I) dies under round(). Containment is
     * then the same I/|A| division of the same integers on both engines
     * — bit-identical, so the 0.9 threshold cannot flake. */
-  private[operators] def containmentPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
-    val sets = hashedWordSets(s, dir)
+  /** The rarest-prefix join keys shared by d07 and d09: each doc's
+    * `|d| − ⌈t·|d|⌉ + 1` lowest-(document-frequency, hash) tokens, one
+    * row per (doc_id, sz, h). The pigeonhole guarantee: any pair with
+    * ≥ t overlap (Jaccard OR containment-of-the-smaller) must share a
+    * token inside this prefix. The 1e-9 nudge keeps a float ceil from
+    * rounding UP on exact multiples (a shorter prefix loses
+    * completeness; a longer one only adds candidates the verify culls). */
+  private def rarityPrefix(sets: DataFrame, threshold: Double): DataFrame = {
     val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, "h")
+    // per-doc token order: (df asc, h asc) — one consistent global order
+    tok.join(dfreq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
         first(col("sz")).as("sz"))
-    val pref = ordered
       .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
       .select(col("doc_id"), col("sz"),
         explode(expr("slice(ord, 1, p)")).as("pt"))
       .select(col("doc_id"), col("sz"), col("pt.h").as("h"))
+  }
+
+  private[operators] def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val sets = hashedWordSets(s, dir)
+    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val pref = rarityPrefix(sets, threshold)
     val cand = pref.alias("x").join(tok.alias("y"), Seq("h"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9)
