@@ -37,6 +37,22 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sessionization via the NATIVE `session_window` aggregate under a
+    * watermark — the same expression as batch e09, unchanged; Spark
+    * keeps per-key session state and emits a session once the watermark
+    * passes its close (append mode). The state-explicit
+    * [[sessionize]]/[[sessionizeWithTimeout]] below remain for custom
+    * semantics (emit-on-gap, timeout policies) that the declarative form
+    * can't express. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
     * whenever a gap closes it; the open session stays in state. */

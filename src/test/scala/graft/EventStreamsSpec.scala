@@ -202,6 +202,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L, 5L))
   }
 
+  test("streaming session_window equals the batch formulation on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: one 3-event session then a separate late-day session;
+    // user 2: a single event. A final far-future event advances the
+    // watermark so every earlier session closes and emits.
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(25), 1, "view", 1.0),
+      Event(4, ts(120), 1, "click", 1.0),
+      Event(5, ts(40), 2, "view", 1.0),
+      Event(6, ts(24 * 60), 9, "tick", 0.0))
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.sessionWindowCounts(stream.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_win").start()
+    q.processAllAvailable()
+    stream.addData(Event(7, ts(72 * 60), 9, "tick", 0.0)) // watermark push
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_win")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    val batch = EventStreams.sessionWindowCounts(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    // every batch session whose end precedes the final watermark must
+    // have been emitted by the stream identically
+    val horizon = ts(72 * 60 - 2 * 60).getTime
+    val closed = batch.filter(_._2.getTime < horizon)
+    assert(closed.subsetOf(got))
+    assert(got.exists { case (u, _, n) => u == 1L && n == 3L })
+    assert(got.exists { case (u, _, n) => u == 1L && n == 1L })
+    assert(got.exists { case (u, _, n) => u == 2L && n == 1L })
+  }
+
   test("stream-static enrichment joins each event to its broadcast dim row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
