@@ -220,5 +220,76 @@ object SimilarityOps {
       GROUP BY label, dim
       ORDER BY label, dim"""))
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  // ---------------------------------------------------------------- s06
+  /** Unsupervised clustering: 2 Lloyd iterations of cosine k-means with
+    * 8 deterministic seeds (the vectors with vec_id < 8) — the corpus
+    * auto-partitioning step (semantic sharding, per-cluster sampling,
+    * near-dup blocking at the topic level) where s05's label centroids
+    * need supervision.
+    *
+    * Scale shape per iteration: the ONLY shuffle is the (cid, dim)
+    * partial-mean — a key space of k×64 regardless of corpus size;
+    * assignment is a broadcast of k centroid rows against the scan.
+    * Centroid coordinates are rounded to 6 decimals after each mean
+    * (the s05 discipline), which is what makes every downstream cosine
+    * bit-identical across engines and the oracle hash-sharp; assignment
+    * ties break by centroid id. */
+  val s06 = Q("s06_kmeans_lite",
+    (s, dir) => {
+      val e = emb(s, dir).select("vec_id", "v")
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos", cosine_similarity(col("v"), col("cv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cid"), col("cos"))
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(round(avg("x"), 6).as("cx"))
+          .groupBy("cid")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
+            .as("cv"))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val a2 = assign(update(assign(c0)))
+      a2.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), round(avg("cos"), 4).as("avg_cosine"))
+        .select(col("cid").as("cluster_id"), col("n_members"), col("avg_cosine"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      s1 AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN c0 c),
+      a1 AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cid) AS rn FROM s1) WHERE rn = 1),
+      d1 AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1),
+      c1 AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+               SELECT cid, pos, round(avg(x), 6) AS cx FROM d1 GROUP BY cid, pos)
+             GROUP BY cid),
+      s2 AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN c1 c),
+      a2 AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cid) AS rn FROM s2) WHERE rn = 1)
+      SELECT cid AS cluster_id, count(*) AS n_members,
+             round(avg(cos), 4) AS avg_cosine
+      FROM a2
+      GROUP BY cid
+      ORDER BY cid"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }
