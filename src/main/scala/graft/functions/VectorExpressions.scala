@@ -171,6 +171,70 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   override def prettyName: String = "sorted_long_jaccard"
 }
 
+/** First common element of two SORTED ascending `array<long>` sets, or
+  * NULL when they are disjoint. One fused merge in whole-stage codegen —
+  * the exactly-once candidate-emission rule of the prefix-filter joins:
+  * a (doc_a, doc_b) pair that shares k prefix tokens appears in k joined
+  * rows, and `first_common_long(a.pref, b.pref) == current token` is true
+  * in exactly one of them (the minimum shared token), so the join emits
+  * each pair once with NO dedup shuffle — the same trick d02's
+  * first-matching-band CASE chain plays for LSH bands, generalized to
+  * variable-length prefixes. */
+case class FirstCommonLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"first_common_long expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) return xi
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val found = ctx.freshName("found")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+        |int $nx = $a.numElements(); int $ny = $b.numElements();
+        |int $i = 0; int $j = 0; boolean $found = false;
+        |while ($i < $nx && $j < $ny) {
+        |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+        |  if ($xi == $yj) { ${ev.value} = $xi; $found = true; break; }
+        |  else if ($xi < $yj) { $i++; } else { $j++; }
+        |}
+        |if (!$found) { ${ev.isNull} = true; }
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "first_common_long"
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -187,6 +251,10 @@ object VectorFunctions {
     Bridge.column(SortedLongJaccard(
       Bridge.expression(a), Bridge.expression(b)))
 
+  def first_common_long(a: Column, b: Column): Column =
+    Bridge.column(FirstCommonLong(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -195,5 +263,7 @@ object VectorFunctions {
       "jaccard_similarity", exprs => JaccardSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_jaccard", exprs => SortedLongJaccard(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "first_common_long", exprs => FirstCommonLong(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.VectorFunctions.{cosine_similarity, jaccard_similarity, sorted_long_jaccard}
+import graft.functions.VectorFunctions.{cosine_similarity, first_common_long, jaccard_similarity, sorted_long_jaccard}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -420,17 +420,29 @@ object DedupOps {
     * order tokens per doc, one equi-join on rare tokens (AQE-skew-safe),
     * then O(candidates) primitive verifies — no driver state, no
     * quadratic stage. */
-  private[operators] def prefixFilterPairs(s: SparkSession, dir: String,
+  /** The duplicate-free candidate stage of d07 (exposed for the
+    * exactly-once spec). A pair sharing k prefix tokens appears in k
+    * joined rows; the `first_common_long == h` filter keeps only the row
+    * joined on the MINIMUM shared prefix hash — exactly-once emission in
+    * expression space, replacing a `.distinct()` that had to shuffle
+    * every (pair × shared-prefix-token) copy (the d02 first-matching-band
+    * trick, transposed to variable-length prefixes). Each prefix row
+    * carries its doc's full prefix-hash array (`prefh`, ~10% of the doc's
+    * tokens) to make the rule locally decidable. */
+  private[graft] def prefixCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val pref = rarityPrefix(hashedWordSets(s, dir), threshold)
-    val cand = pref.alias("x").join(pref.alias("y"), Seq("h"))
+    pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
-        col("x.sz") >= col("y.sz") * threshold - 1e-9)
+        col("x.sz") >= col("y.sz") * threshold - 1e-9 &&
+        first_common_long(col("x.prefh"), col("y.prefh")) === col("h"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    exactVerify(s, dir, cand, threshold)
   }
+
+  private[operators] def prefixFilterPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame =
+    exactVerify(s, dir, prefixCandidates(s, dir, threshold), threshold)
 
   val d07 = Q("d07_allpairs_jaccard",
     (s, dir) =>
@@ -532,27 +544,50 @@ object DedupOps {
   private def rarityPrefix(sets: DataFrame, threshold: Double): DataFrame = {
     val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc token order: (df asc, h asc) — one consistent global order
+    // per-doc token order: (df asc, h asc) — one consistent global order.
+    // `prefh` re-sorts the SELECTED prefix by plain hash: the rarity order
+    // decides WHICH tokens are join keys (efficiency), while exactly-once
+    // emission only needs one canonical shared token per pair, and min-h
+    // over ascending arrays is what first_common_long finds in one merge.
     tok.join(dfreq, "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
         first(col("sz")).as("sz"))
       .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
-      .select(col("doc_id"), col("sz"),
-        explode(expr("slice(ord, 1, p)")).as("pt"))
-      .select(col("doc_id"), col("sz"), col("pt.h").as("h"))
+      .withColumn("prefh",
+        expr("array_sort(transform(slice(ord, 1, p), s -> s.h))"))
+      .select(col("doc_id"), col("sz"), col("prefh"),
+        explode(col("prefh")).as("h"))
+  }
+
+  /** Duplicate-free candidate stage of d09 (exposed for the exactly-once
+    * spec). One-sided first-match: a (a, b) pair joins once per token of
+    * prefix(a) present in B; keeping only the row where the join hash is
+    * `first_common_long(prefix(a), B)` — the minimum such token — emits
+    * each pair exactly once with no dedup shuffle. The posting side
+    * carries its doc's full sorted `hs` to make the rule local; that
+    * widens posting rows by |B|·8 bytes (the same payload the verify join
+    * ships once per candidate) and in exchange deletes the
+    * (pair × multiplicity) `.distinct()` shuffle. Docs long enough for
+    * that width to hurt are exactly the docs whose verify step already
+    * ships the same array many more times. */
+  private[graft] def containmentCandidates(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val sets = hashedWordSets(s, dir)
+    val tok = sets.select(col("doc_id"), col("sz"), col("hs"),
+      explode(col("hs")).as("h"))
+    val pref = rarityPrefix(sets, threshold)
+    pref.alias("x").join(tok.alias("y"), Seq("h"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
+        first_common_long(col("x.prefh"), col("y.hs")) === col("h"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
   private[operators] def containmentPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val sets = hashedWordSets(s, dir)
-    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-    val pref = rarityPrefix(sets, threshold)
-    val cand = pref.alias("x").join(tok.alias("y"), Seq("h"))
-      .filter(col("x.doc_id") =!= col("y.doc_id") &&
-        col("y.sz") >= col("x.sz") * threshold - 1e-9)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = containmentCandidates(s, dir, threshold)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("sz").as("sza")), "doc_a")

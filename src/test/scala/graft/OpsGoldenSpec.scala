@@ -207,6 +207,38 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(d07.nonEmpty) // docs 0/1/2 are near-dups
   }
 
+  test("d07/d09 candidate stages emit each pair exactly once, without distinct") {
+    import spark.implicits._
+    // Heavy-multiplicity corpus: 20-token docs at t=0.9 carry a 3-token
+    // prefix, and the identical docs share all 3 — so the naive join
+    // emits each pair 3×. The first_common_long rule must cut that to 1
+    // with no dedup shuffle.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val variant = ((1 to 19).map(i => s"tok$i") :+ "tok99").mkString(" ")
+    val d = Files.createTempDirectory("graft-once").toString
+    (0L to 3L).map(i => (i, base, "en", "srcA", 60L))
+      .++(Seq((4L, variant, "en", "srcA", 60L),
+        (5L, "wholly unrelated words live here in this document today ok", "en", "srcB", 60L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    val c7 = operators.DedupOps.prefixCandidates(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c7.nonEmpty)
+    assert(c7.length == c7.distinct.length, "d07 candidates must be duplicate-free")
+    // completeness at the candidate level: all 6 identical-doc pairs present
+    val idPairs = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(idPairs.forall(c7.contains))
+
+    val c9 = operators.DedupOps.containmentCandidates(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c9.nonEmpty)
+    assert(c9.length == c9.distinct.length, "d09 candidates must be duplicate-free")
+    // ordered identical pairs (both directions) must all be candidates
+    val ordPairs = for (a <- 0L to 3L; b <- 0L to 3L; if a != b) yield (a, b)
+    assert(ordPairs.forall(c9.contains))
+  }
+
   test("triangleCount sees the one triangle in a triangle-plus-tail graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -63,4 +63,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("array<double>") ||
       ex.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("first_common_long returns the minimum shared element or null") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 5L, 9L), Seq(2L, 5L, 9L)),   // shares {5, 9} → 5
+      (Seq(-7L, 3L), Seq(-7L, 8L)),         // negative mins merge correctly
+      (Seq(1L, 2L), Seq(3L, 4L)),           // disjoint → null
+      (Seq.empty[Long], Seq(1L)))           // empty side → null
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.first_common_long(col("a"), col("b")).as("c")).collect()
+    assert(got(0).getLong(0) == 5L)
+    assert(got(1).getLong(0) == -7L)
+    assert(got(2).isNullAt(0))
+    assert(got(3).isNullAt(0))
+    // randomized agreement with the HOF formulation, codegen vs interpreted
+    val rnd = new scala.util.Random(7)
+    val rdf = Seq.fill(200)((
+      Seq.fill(12)(rnd.nextInt(30).toLong).distinct.sorted,
+      Seq.fill(12)(rnd.nextInt(30).toLong).distinct.sorted)).toDF("a", "b")
+    rdf.select(
+      VectorFunctions.first_common_long(col("a"), col("b")).as("c1"),
+      expr("array_min(array_intersect(a, b))").as("c2")).collect()
+      .foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+      }
+  }
 }
