@@ -1,0 +1,34 @@
+package graft
+
+/** Ad-hoc timer for individual catalog queries:
+  * `tools/run.sh graft.BenchOne q1 q2 ...` runs the named queries against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) through the noop sink — one warm-up
+  * each, then 3 interleaved timed rounds (same anti-stall discipline as
+  * [[Bench]]) — and prints per-query samples + min. Not part of the driver
+  * contract; a developer loop for plan work between full Bench runs.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query-name> [<query-name> ...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Session.get("graft-bench-one")
+    val qs = args.toSeq.map(n => Queries.byName.getOrElse(n,
+      throw new NoSuchElementException(
+        s"no catalog query '$n'; known: ${Queries.all.map(_.name).sorted.mkString(", ")}")))
+
+    def runOnce(q: Q): Double = {
+      val t0 = System.nanoTime()
+      q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    qs.foreach(runOnce) // warm-up
+    val timings = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to 3; q <- qs) timings(q.name) ::= runOnce(q)
+    qs.foreach { q =>
+      val runs = timings(q.name).reverse
+      println(f"${q.name}: min=${runs.min}%.3f s  samples=[${runs.map(t => f"$t%.3f").mkString(", ")}]  sf=$sfDir")
+    }
+    spark.stop()
+  }
+}

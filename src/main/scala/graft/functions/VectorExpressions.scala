@@ -186,13 +186,17 @@ case class FirstCommonLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // Null elements would be read as arbitrary longs by getLong, so only
+    // containsNull=false arrays are accepted; the ascending-sorted
+    // requirement is a runtime contract the type system cannot see.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"first_common_long expects two array<bigint> arguments, got " +
+      s"first_common_long expects two array<bigint> (element nullable = false, " +
+        s"elements sorted ascending) arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 

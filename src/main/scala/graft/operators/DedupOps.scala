@@ -561,27 +561,27 @@ object DedupOps {
   }
 
   /** Duplicate-free candidate stage of d09 (exposed for the exactly-once
-    * spec). One-sided first-match: a (a, b) pair joins once per token of
-    * prefix(a) present in B; keeping only the row where the join hash is
-    * `first_common_long(prefix(a), B)` — the minimum such token — emits
-    * each pair exactly once with no dedup shuffle. The posting side
-    * carries its doc's full sorted `hs` to make the rule local; that
-    * widens posting rows by |B|·8 bytes (the same payload the verify join
-    * ships once per candidate) and in exchange deletes the
-    * (pair × multiplicity) `.distinct()` shuffle. Docs long enough for
-    * that width to hurt are exactly the docs whose verify step already
-    * ships the same array many more times. */
+    * spec). A (a, b) pair joins once per token of prefix(a) present in B;
+    * a partial-aggregated `groupBy(doc_a, doc_b)` collapses the
+    * multiplicity to one row per pair. d07's local first-common rule does
+    * NOT transpose here: making it locally decidable would require every
+    * posting row of B to carry B's full sorted token array — ~8·|B|² bytes
+    * per doc through the join shuffle (measured 40→180 s at sf0.1, vs
+    * ~13 s for this shape) — because the superset side, unlike d07's,
+    * has no small prefix to carry. The groupBy rows are 24 bytes,
+    * map-side combine collapses same-partition copies before the
+    * shuffle, and the key space is the candidate pair set itself. */
   private[graft] def containmentCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val sets = hashedWordSets(s, dir)
-    val tok = sets.select(col("doc_id"), col("sz"), col("hs"),
-      explode(col("hs")).as("h"))
-    val pref = rarityPrefix(sets, threshold)
+    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val pref = rarityPrefix(sets, threshold).select("doc_id", "sz", "h")
     pref.alias("x").join(tok.alias("y"), Seq("h"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
-        col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
-        first_common_long(col("x.prefh"), col("y.hs")) === col("h"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        col("y.sz") >= col("x.sz") * threshold - 1e-9)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .select("doc_a", "doc_b")
   }
 
   private[operators] def containmentPairs(s: SparkSession, dir: String,

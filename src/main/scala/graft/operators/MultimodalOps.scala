@@ -161,40 +161,50 @@ object MultimodalOps {
       ORDER BY doc_id, chunk_idx"""))
 
   // ---------------------------------------------------------------- m05
-  /** Modality-balanced batch interleave: place samples so every training
-    * batch draws all modalities round-robin, instead of long runs of one
-    * modality (which wreck multimodal training dynamics). Deterministic
-    * formulation: within each of 4 shards, rank each modality's samples
-    * by digest, then global position = rank·3 + modality-index — a
-    * perfect 1:1:1 interleave until a modality exhausts. Batches of 30
-    * are profiled per modality to verify balance. Sharding bounds every
-    * per-(shard, modality) ranking window — more shards = more
-    * parallelism, the t15 discipline; modality here is synthesized from
-    * doc_id (the container carries no media column) — the plumbing, not
-    * the decode, is what this pins. */
+  /** Parameterized modality-balanced batch interleave: place samples
+    * (rows with `doc_id` and a `modality` drawn from `modalities`) so
+    * every training batch draws all modalities round-robin, instead of
+    * long runs of one modality (which wreck multimodal training
+    * dynamics). Deterministic formulation: within each of `nShards`
+    * shards (doc_id mod nShards), rank each modality's samples by
+    * digest, then global position = rank·|modalities| + modality-index —
+    * a perfect interleave until a modality exhausts. Batches of
+    * `batchSize` are profiled per modality to verify balance. Sharding
+    * bounds every per-(shard, modality) ranking window — `nShards`
+    * scales with the input without changing any shard's interleave
+    * (ShardedOpsSpec pins that locality), the t15 discipline. */
+  def modalityInterleave(df: DataFrame, modalities: Seq[String],
+      nShards: Int, batchSize: Int): DataFrame = {
+    val k = modalities.size
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "modality")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val counts = modalities.map(m =>
+      sum(when(col("modality") === m, 1L).otherwise(0L)).as(s"n_$m"))
+    df.select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        col("modality"))
+      .withColumn("m_idx",
+        array_position(array(modalities.map(lit): _*), col("modality")) - 1)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("pos", (col("rk") - 1) * k + col("m_idx"))
+      .withColumn("batch", floor(col("pos") / batchSize))
+      .groupBy("shard", "batch")
+      .agg(counts.head, (counts.tail :+ count(lit(1)).as("n_total")): _*)
+  }
+
+  /** The 4-shard × batch-30 text/image/audio instance, pinned by the
+    * DuckDB oracle; modality here is synthesized from doc_id (the
+    * container carries no media column) — the plumbing, not the decode,
+    * is what this pins. */
   val m05 = Q("m05_modality_interleave",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard", "modality")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"),
-          pmod(col("doc_id"), lit(4)).as("shard"),
-          pmod(col("doc_id"), lit(3)).as("m_idx"))
-        .withColumn("modality",
+    (s, dir) =>
+      modalityInterleave(
+        docs(s, dir).select(col("doc_id"),
           element_at(array(lit("text"), lit("image"), lit("audio")),
-            col("m_idx").cast("int") + 1))
-        .withColumn("rk", row_number().over(w))
-        .withColumn("pos", (col("rk") - 1) * 3 + col("m_idx"))
-        .withColumn("batch", floor(col("pos") / 30))
-        .groupBy("shard", "batch")
-        .agg(
-          sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text"),
-          sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image"),
-          sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio"),
-          count(lit(1)).as("n_total"))
-        .orderBy("shard", "batch")
-    },
+            pmod(col("doc_id"), lit(3)).cast("int") + 1).as("modality")),
+        modalities = Seq("text", "image", "audio"), nShards = 4, batchSize = 30)
+        .orderBy("shard", "batch"),
     Some("""
       WITH t AS (
         SELECT doc_id, doc_id % 4 AS shard, doc_id % 3 AS m_idx,

@@ -527,32 +527,42 @@ object TextOps {
       ORDER BY decile"""))
 
   // ---------------------------------------------------------------- t15
-  /** Sequence packing: assign whole documents to fixed-budget training
-    * sequences (8192 tokens) — the pretraining batch-construction step.
-    * Documents are packed in doc_id order WITHIN 8 independent shards
-    * (doc_id mod 8): each shard runs its own running token sum and cuts a
-    * new pack when the budget would overflow at the doc's START offset
-    * (`floor((cumsum − n)/8192)` — the streaming first-fit boundary).
-    * Sharding is what makes this a scale plan: one global cumsum is a
-    * single-task total order, but per-shard windows parallelize freely
-    * and packs never cross shards, which is exactly how a real packing
-    * job distributes. Output profiles each pack (docs, tokens). */
+  /** Parameterized sequence packing: assign whole documents (rows with
+    * `doc_id` and a token count `n`) to fixed-`budget` training
+    * sequences — the pretraining batch-construction step. Documents are
+    * packed in doc_id order WITHIN `nShards` independent shards
+    * (doc_id mod nShards): each shard runs its own running token sum and
+    * cuts a new pack when the budget would overflow at the doc's START
+    * offset (`floor((cumsum − n)/budget)` — the streaming first-fit
+    * boundary). Sharding is what makes this a scale plan: one global
+    * cumsum is a single-task total order, but per-shard windows
+    * parallelize freely and packs never cross shards — so `nShards`
+    * scales with the input (≈ input partitions at 100 TB) without
+    * changing any shard's packing (ShardedOpsSpec pins that locality).
+    * Output profiles each pack (docs, tokens). */
+  def sequencePack(docsWithCounts: DataFrame, budget: Long,
+      nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docsWithCounts
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        col("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("pack", floor((col("cum") - col("n")) / budget))
+      .groupBy("shard", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+  }
+
+  /** The 8192-token × 8-shard instance, pinned by the DuckDB oracle. */
   val t15 = Q("t15_sequence_pack",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"),
-          pmod(col("doc_id"), lit(8)).as("shard"),
-          size(tokensExpr).cast("long").as("n"))
-        .withColumn("cum", sum("n").over(w))
-        .withColumn("pack", floor((col("cum") - col("n")) / 8192L))
-        .groupBy("shard", "pack")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-        .orderBy("shard", "pack")
-    },
+    (s, dir) =>
+      sequencePack(
+        docs(s, dir).select(col("doc_id"), size(tokensExpr).cast("long").as("n")),
+        budget = 8192L, nShards = 8)
+        .orderBy("shard", "pack"),
     Some("""
       WITH t AS (
         SELECT doc_id, doc_id % 8 AS shard,
