@@ -77,8 +77,8 @@ object DedupOps {
   /** The exact-verified near-dup pair set (unrounded `jac`): LSH candidates
     * at 16 bands × 4 rows, then exact Jaccard ≥ `threshold` on candidates
     * only. Shared by d02 (pair listing) and d06 (cluster assignment). */
-  private[operators] def nearDupPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
+  private[graft] def nearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9, maxBucket: Int = 64): DataFrame = {
     val P = 2147483647L // 2^31-1, prime
     val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
     val hashed = words
@@ -108,6 +108,21 @@ object DedupOps {
       .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
+    // joined rows — unbounded on corpora with heavy near-threshold mass
+    // (AQE can split the partitions but not shrink the pair volume). Docs
+    // seen in ANY bucket larger than maxBucket are routed through the d07
+    // prefix-filter kernel instead, which is COMPLETE at the threshold
+    // (pigeonhole guarantee, no LSH recall probability) and whose
+    // candidate volume is bounded by token rarity, not bucket size. The
+    // band join then skips pairs where BOTH docs are hot, so intra-bucket
+    // enumeration among hot docs never happens; pairs with at most one
+    // hot doc meet only in ≤ maxBucket buckets (a bucket containing a
+    // cold doc is by definition not oversize).
+    val hotDocs = lshHotDocs(bands, maxBucket)
+    val flagged = bands.join(
+      hotDocs.withColumn("hot", lit(true)), Seq("doc_id"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
     // first-matching band as a CASE WHEN chain over the 16 static element
     // comparisons — stays in whole-stage codegen, where the equivalent
     // zip_with + array_position formulation is an interpreted
@@ -118,21 +133,35 @@ object DedupOps {
         case (None, (cond, v)) => Some(when(cond, v))
         case (Some(acc), (cond, v)) => Some(acc.when(cond, v))
       }.get
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bh"))
-      .filter(col("x.doc_id") < col("y.doc_id") && col("band") === firstMatch)
+    val cand = flagged.alias("x")
+      .join(flagged.alias("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        !(col("x.hot") && col("y.hot")) && col("band") === firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // exact verify on candidates only, over sorted-long word sets
-    exactVerify(s, dir, cand, threshold)
+    val sets = hashedWordSets(s, dir)
+    // exact verify on candidates only, over sorted-long word sets; hot
+    // docs' mutual pairs come from the exact kernel (disjoint from the
+    // cold set by the both-hot filter above, so a plain union)
+    exactVerify(sets, cand, threshold)
+      .unionAll(prefixFilterPairsOn(
+        sets.join(hotDocs, Seq("doc_id"), "left_semi"), threshold))
   }
+
+  /** Docs appearing in at least one LSH band bucket larger than
+    * `maxBucket` (exposed for the hot-bucket spec). */
+  private[graft] def lshHotDocs(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .join(bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("band", "bh"),
+        Seq("band", "bh"))
+      .select("doc_id").distinct()
 
   /** Join candidate (doc_a, doc_b) pairs back to their hashed word sets
     * and keep exactly the pairs with true Jaccard ≥ threshold. The doc
     * sides are small relative to the pair set (one row per doc) and
     * broadcast when they fit; the per-pair cost is a primitive merge. */
-  private def exactVerify(s: SparkSession, dir: String, cand: DataFrame,
+  private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = hashedWordSets(s, dir)
     val ha = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -430,8 +459,14 @@ object DedupOps {
     * carries its doc's full prefix-hash array (`prefh`, ~10% of the doc's
     * tokens) to make the rule locally decidable. */
   private[graft] def prefixCandidates(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
-    val pref = rarityPrefix(hashedWordSets(s, dir), threshold)
+      threshold: Double = 0.9): DataFrame =
+    prefixCandidatesOn(hashedWordSets(s, dir), threshold)
+
+  /** The kernel over an arbitrary (doc_id, hs, sz) frame — d07 runs it on
+    * the whole corpus, d02's hot-bucket fallback on the hot-doc subset. */
+  private[graft] def prefixCandidatesOn(sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val pref = rarityPrefix(sets, threshold)
     pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
@@ -442,7 +477,11 @@ object DedupOps {
 
   private[operators] def prefixFilterPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame =
-    exactVerify(s, dir, prefixCandidates(s, dir, threshold), threshold)
+    prefixFilterPairsOn(hashedWordSets(s, dir), threshold)
+
+  private[graft] def prefixFilterPairsOn(sets: DataFrame,
+      threshold: Double): DataFrame =
+    exactVerify(sets, prefixCandidatesOn(sets, threshold), threshold)
 
   val d07 = Q("d07_allpairs_jaccard",
     (s, dir) =>
