@@ -44,7 +44,60 @@ class ApproxAndIvfSpec extends AnyFunSuite {
     assert(ivf.keySet == (0L until 5L).toSet)
     ivf.foreach { case (q, ns) => assert(ns.size == 5 && !ns.contains(q)) }
     // probing 2 of 8 cells: demand at least some overlap with true top-5
-    val recall = brute.keys.map(q => (ivf(q) & brute(q)).size).sum / 25.0
+    // (keys is a Set — map through a Seq or equal per-query sizes collapse)
+    val recall = brute.keys.toSeq.map(q => (ivf(q) & brute(q)).size).sum / 25.0
     assert(recall >= 0.2, s"IVF recall $recall vs brute force")
+  }
+
+  /** Adversarial CLUSTERED corpus — the realistic ANN case the uniform
+    * sf tables don't stress: 8 tight direction clusters (40 members,
+    * ±0.02 noise around a unit-ish center) plus 60 wide-noise vectors.
+    * Queries 0-4 sit inside clusters 0-4, so each true top-5 is all
+    * same-cluster — exactly the shape where a bad hyperplane cut or a
+    * wrong IVF cell choice zeroes recall for a whole query. */
+  lazy val clusteredDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val members = for {
+      c <- 0 until 8; m <- 0 until 40
+    } yield (centers(c).map(x => (x + rnd.nextGaussian() * 0.02).toFloat), c)
+    val noise = Array.fill(60)((Array.fill(64)(rnd.nextGaussian().toFloat * 3), 99))
+    // queries 0-4 must be cluster members: member list is already ordered
+    // cluster-major, so ids 0-4 land in cluster 0; spread them instead
+    // across clusters 0-4 by interleaving the first five clusters' heads
+    val firstFive = (0 until 5).map(c => members(c * 40))
+    val rest = members.zipWithIndex.filterNot { case (_, i) => i % 40 == 0 && i / 40 < 5 }
+      .map(_._1)
+    val all = (firstFive ++ rest ++ noise).zipWithIndex
+      .map { case ((v, lab), id) => (id.toLong, v.toSeq, lab) }
+    all.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def recallVsBrute(queryName: String): Double = {
+    val approxNs = Queries.byName(queryName).build(spark, clusteredDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val brute = Queries.byName("s01_cosine_topk").build(spark, clusteredDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(brute.keySet == (0L until 5L).toSet)
+    // keys is a Set — map through a Seq or equal per-query sizes collapse
+    brute.keys.toSeq
+      .map(q => (approxNs.getOrElse(q, Set.empty[Long]) & brute(q)).size)
+      .sum / 25.0
+  }
+
+  test("LSH ANN recall on a clustered corpus stays above 0.8") {
+    val r = recallVsBrute("s02_ann_lsh")
+    info(f"s02 clustered-corpus recall@5 = $r%.2f")
+    assert(r >= 0.8, s"LSH clustered recall $r")
+  }
+
+  test("IVF ANN recall on a clustered corpus stays above 0.8") {
+    val r = recallVsBrute("s03_ann_ivf")
+    info(f"s03 clustered-corpus recall@5 = $r%.2f")
+    assert(r >= 0.8, s"IVF clustered recall $r")
   }
 }
