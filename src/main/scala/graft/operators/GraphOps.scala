@@ -108,15 +108,23 @@ object GraphOps {
     * a trusted-document set, finding parts associated with a supplier
     * cohort). r₀ = p, absent ranks are 0 (standard PPR, unlike the
     * reference-semantics mr02 whose missing ranks default to 1.0).
-    * Dangling mass is dropped, not redistributed — documented and
-    * mirrored in the oracle.
+    *
+    * Dangling mass (rank on pages with no out-edges) is DROPPED by
+    * default — total mass shrinks each iteration — or, with
+    * `redistributeDangling = true`, returned to the teleport set per
+    * iteration (r' = (1−d)·p + d·(AᵀD⁻¹r + m·p), m = dangling mass):
+    * the standard variant that conserves total mass 1. The mass sum
+    * stays in-plan — a 1-row anti-join aggregate broadcast-crossJoined
+    * onto the teleport rows (the t07 N-scalar discipline) — so the
+    * driver loop still holds no data either way.
     *
     * Scale shape per iteration: one equi-join of edges to the current
     * rank vector (AQE-broadcast when the reachable frontier is small —
-    * the common PPR case) + one partial-agg sum; the driver loop holds
-    * no data. */
+    * the common PPR case) + one partial-agg sum; redistribution adds
+    * one anti-join partial-agg for the scalar. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.toDF("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val nSeeds = seeds.count()
@@ -129,8 +137,17 @@ object GraphOps {
         .join(ranks.withColumnRenamed("page", "src"), Seq("src"))
         .select(col("dst").as("page"),
           (lit(damping) * col("rank") / col("d")).as("c"))
-      ranks = teleport
-        .select(col("page"), (col("tp") * (1.0 - damping)).as("c"))
+      val telC =
+        if (redistributeDangling) {
+          val dm = ranks
+            .join(deg.withColumnRenamed("src", "page"), Seq("page"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          teleport.crossJoin(broadcast(dm))
+            .select(col("page"),
+              (col("tp") * (lit(1.0 - damping) + lit(damping) * col("dm"))).as("c"))
+        } else
+          teleport.select(col("page"), (col("tp") * (1.0 - damping)).as("c"))
+      ranks = telC
         .union(contribs)
         .groupBy("page").agg(sum("c").as("rank"))
       if (i % 5 == 0) ranks = ranks.localCheckpoint()
@@ -184,5 +201,67 @@ object GraphOps {
       FROM r2
       ORDER BY rank DESC, page"""))
 
-  val queries: Seq[Q] = Seq(g01, g02)
+  // ---------------------------------------------------------------- g03
+  /** g02's graph with dangling-mass redistribution: every part node is
+    * dangling (edges only run supplier→part), so after iteration 1 a
+    * large mass sits on dangling pages and the redistribute flag visibly
+    * changes iteration 2 — the seeds reabsorb d·m. Oracle unrolls both
+    * iterations with the same per-iteration dangling-mass scalar. */
+  val g03 = Q("g03_ppr_redistribute",
+    (s, dir) => {
+      val li = graft.Tables.df(s, dir, "lineitem")
+      val edges = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+      val seeds = li.filter(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct()
+      personalizedPageRank(edges, seeds, iterations = 2,
+        redistributeDangling = true)
+        .select(col("page"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("rank").desc, col("page"))
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS tgt
+        FROM lineitem),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      seeds AS (
+        SELECT DISTINCT 's' || l_suppkey AS page FROM lineitem
+        WHERE l_suppkey % 10 = 0),
+      ns AS (SELECT count(*) AS n FROM seeds),
+      r0 AS (SELECT page, 1.0 / (SELECT n FROM ns) AS rank FROM seeds),
+      dm0 AS (
+        SELECT COALESCE(sum(r0.rank), 0) AS m
+        FROM r0 LEFT JOIN deg ON r0.page = deg.src
+        WHERE deg.src IS NULL),
+      r1 AS (
+        SELECT page, sum(c) AS rank FROM (
+          SELECT page,
+                 (1.0 / (SELECT n FROM ns)) *
+                   (0.15 + 0.85 * (SELECT m FROM dm0)) AS c
+          FROM seeds
+          UNION ALL
+          SELECT e.tgt, 0.85 * r0.rank / d.d
+          FROM edges e JOIN deg d ON e.src = d.src
+                       JOIN r0 ON r0.page = e.src) t
+        GROUP BY page),
+      dm1 AS (
+        SELECT COALESCE(sum(r1.rank), 0) AS m
+        FROM r1 LEFT JOIN deg ON r1.page = deg.src
+        WHERE deg.src IS NULL),
+      r2 AS (
+        SELECT page, sum(c) AS rank FROM (
+          SELECT page,
+                 (1.0 / (SELECT n FROM ns)) *
+                   (0.15 + 0.85 * (SELECT m FROM dm1)) AS c
+          FROM seeds
+          UNION ALL
+          SELECT e.tgt, 0.85 * r1.rank / d.d
+          FROM edges e JOIN deg d ON e.src = d.src
+                       JOIN r1 ON r1.page = e.src) t
+        GROUP BY page)
+      SELECT page, round(rank, 8) AS rank
+      FROM r2
+      ORDER BY rank DESC, page"""))
+
+  val queries: Seq[Q] = Seq(g01, g02, g03)
 }

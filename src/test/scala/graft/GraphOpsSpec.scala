@@ -46,6 +46,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(close(r2(1L), 0.15) && close(r2(2L), 0.1275) && r2.size == 2)
   }
 
+  test("PPR dangling redistribution conserves mass on the 2-node graph") {
+    // seed {1}, edge 1→2; node 2 is dangling.
+    // iter1: dangling mass over r0 = 0 (node 1 has an out-edge) →
+    //   teleport 1→0.15; contrib 2 ← 0.85 → {1: 0.15, 2: 0.85}
+    // iter2: dangling mass m = 0.85 (node 2) →
+    //   teleport 1→(0.15 + 0.85·0.85) = 0.8725; contrib 2 ← 0.85·0.15
+    //   → {1: 0.8725, 2: 0.1275}; total mass back to exactly 1.0
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val r2 = GraphOps.personalizedPageRank(edges, seeds, iterations = 2,
+      redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(close(r2(1L), 0.8725) && close(r2(2L), 0.1275) && r2.size == 2)
+    assert(close(r2.values.sum, 1.0))
+  }
+
   test("degree ordering collapses the hub's wedge fan-out") {
     // star with a MIDDLE-id hub (100), 40 leaves below and 40 above: zero
     // triangles, but the id-canonical wedge join enumerates every
