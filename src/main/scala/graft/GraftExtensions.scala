@@ -59,8 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
         }
       }))
-    // topk_agg(sort STRING, payload BIGINT, k INT) — k must be a literal
-    // (it bounds the aggregation state); wrong arity fails at analysis.
+    // topk_agg(sort, payload, k INT) — sort/payload take any orderable
+    // atomic type (STRING/BIGINT/INT/DOUBLE/DATE/TIMESTAMP, checked by
+    // the aggregate's own type check); k must be a literal (it bounds
+    // the aggregation state); wrong arity fails at analysis.
     e.injectFunction((
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),

@@ -23,12 +23,15 @@ import java.nio.ByteBuffer
   * most K candidates per key it sees, merge is K·log K, and no task ever
   * holds more than K rows per key regardless of skew.
   *
-  * Ties on sortKey are broken by payload, so the kept set is total-order
-  * deterministic — byte-identical to the window formulation with the
-  * same `orderBy(sort, payload)` clause. Payloads should be UNIQUE per
-  * group (a row id): if the K-boundary falls inside a run of fully
-  * identical (sortKey, payload) pairs, which of the duplicates is kept
-  * is arbitrary on both formulations.
+  * Both sortKey and payload accept any orderable atomic type from
+  * {STRING, BIGINT, INT, DOUBLE, DATE, TIMESTAMP}; strings order by
+  * UTF8 binary comparison — the same order a window `orderBy` uses, so
+  * the kept set stays byte-identical to the window formulation with the
+  * same `orderBy(sort, payload)` clause. Ties on sortKey are broken by
+  * payload, making the kept set total-order deterministic. Payloads
+  * should be UNIQUE per group (a row id): if the K-boundary falls inside
+  * a run of fully identical (sortKey, payload) pairs, which duplicate is
+  * kept is arbitrary on both formulations.
   */
 case class TopKAgg(
     sortKey: Expression,
@@ -42,21 +45,31 @@ case class TopKAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (sortKey.dataType != StringType)
-      TypeCheckFailure(s"topk_agg: sort key must be STRING, got ${sortKey.dataType.simpleString}")
-    else if (payload.dataType != LongType)
-      TypeCheckFailure(s"topk_agg: payload must be BIGINT, got ${payload.dataType.simpleString}")
+    def bad(role: String, dt: DataType) = TypeCheckFailure(
+      s"topk_agg: $role must be one of STRING, BIGINT, INT, DOUBLE, DATE, " +
+        s"TIMESTAMP, got ${dt.simpleString}")
+    if (!TopKAgg.supported(sortKey.dataType)) bad("sort key", sortKey.dataType)
+    else if (!TopKAgg.supported(payload.dataType)) bad("payload", payload.dataType)
     else TypeCheckSuccess
   }
 
-  override def createAggregationBuffer(): TopKAgg.Buf = new TopKAgg.Buf(k)
+  @transient private lazy val pairOrd: Ordering[(Any, Any)] = {
+    val so = TopKAgg.orderingFor(sortKey.dataType)
+    val po = TopKAgg.orderingFor(payload.dataType)
+    (a: (Any, Any), b: (Any, Any)) => {
+      val c = so.compare(a._1, b._1)
+      if (c != 0) c else po.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): TopKAgg.Buf = new TopKAgg.Buf(k, pairOrd)
 
   override def update(buf: TopKAgg.Buf, input: InternalRow): TopKAgg.Buf = {
     val s = sortKey.eval(input)
     val p = payload.eval(input)
     if (s != null && p != null) {
-      // toString copies — the UTF8String may point into a reused row buffer
-      buf.offer(s.asInstanceOf[UTF8String].toString, p.asInstanceOf[Long])
+      // clone copies — a UTF8String may point into a reused row buffer
+      buf.offer(TopKAgg.copyValue(s), TopKAgg.copyValue(p))
     }
     buf
   }
@@ -70,31 +83,33 @@ case class TopKAgg(
 
   override def serialize(buf: TopKAgg.Buf): Array[Byte] = {
     val items = buf.items
-    var n = 4
-    val enc = items.map { case (s, p) =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8); n += 4 + b.length + 8; (b, p)
-    }
+    val n = 4 + items.map { case (s, p) =>
+      TopKAgg.byteSize(sortKey.dataType, s) + TopKAgg.byteSize(payload.dataType, p)
+    }.sum
     val bb = ByteBuffer.allocate(n)
-    bb.putInt(enc.length)
-    enc.foreach { case (b, p) => bb.putInt(b.length); bb.put(b); bb.putLong(p) }
+    bb.putInt(items.length)
+    items.foreach { case (s, p) =>
+      TopKAgg.writeValue(bb, sortKey.dataType, s)
+      TopKAgg.writeValue(bb, payload.dataType, p)
+    }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKAgg.Buf = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKAgg.Buf(k)
+    val buf = new TopKAgg.Buf(k, pairOrd)
     val n = bb.getInt
     var i = 0
     while (i < n) {
-      val len = bb.getInt
-      val sb = new Array[Byte](len); bb.get(sb)
-      buf.offer(new String(sb, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      val s = TopKAgg.readValue(bb, sortKey.dataType)
+      val p = TopKAgg.readValue(bb, payload.dataType)
+      buf.offer(s, p)
       i += 1
     }
     buf
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(sortKey, payload)
   override def prettyName: String = "topk_agg"
@@ -110,26 +125,81 @@ case class TopKAgg(
 
 object TopKAgg {
 
+  private[functions] def supported(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | DateType |
+         TimestampType => true
+    case _ => false
+  }
+
+  /** Ordering over INTERNAL values (UTF8String for strings, Int for
+    * dates, Long for timestamps). String order is UTF8 binary — the
+    * order window `orderBy` and joins use, NOT java.lang.String's
+    * UTF-16 code-unit order (they differ on supplementary characters). */
+  private[functions] def orderingFor(dt: DataType): Ordering[Any] = dt match {
+    case StringType =>
+      (a: Any, b: Any) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case LongType | TimestampType =>
+      (a: Any, b: Any) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      (a: Any, b: Any) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      // matches Spark's sort order for doubles (NaN largest)
+      (a: Any, b: Any) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other => throw new IllegalArgumentException(s"topk_agg: unsupported $other")
+  }
+
+  private[functions] def copyValue(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case x => x
+  }
+
+  private[functions] def byteSize(dt: DataType, v: Any): Int = dt match {
+    case StringType => 4 + v.asInstanceOf[UTF8String].numBytes()
+    case LongType | TimestampType | DoubleType => 8
+    case IntegerType | DateType => 4
+    case other => throw new IllegalArgumentException(s"topk_agg: unsupported $other")
+  }
+
+  private[functions] def writeValue(bb: ByteBuffer, dt: DataType, v: Any): Unit = dt match {
+    case StringType =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      bb.putInt(b.length); bb.put(b)
+    case LongType | TimestampType => bb.putLong(v.asInstanceOf[Long])
+    case IntegerType | DateType => bb.putInt(v.asInstanceOf[Int])
+    case DoubleType => bb.putDouble(v.asInstanceOf[Double])
+    case other => throw new IllegalArgumentException(s"topk_agg: unsupported $other")
+  }
+
+  private[functions] def readValue(bb: ByteBuffer, dt: DataType): Any = dt match {
+    case StringType =>
+      val len = bb.getInt
+      val b = new Array[Byte](len); bb.get(b)
+      UTF8String.fromBytes(b)
+    case LongType | TimestampType => bb.getLong
+    case IntegerType | DateType => bb.getInt
+    case DoubleType => bb.getDouble
+    case other => throw new IllegalArgumentException(s"topk_agg: unsupported $other")
+  }
+
   /** Bounded max-heap of the K smallest (sort, payload) pairs seen.
     * Head of the priority queue is the current WORST kept pair; a new
     * pair replaces it only if strictly smaller, so state never exceeds
-    * K entries. */
-  final class Buf(k: Int) {
-    private val ord: Ordering[(String, Long)] = Ordering.Tuple2[String, Long]
+    * K entries. Values are internal representations, pre-copied. */
+  final class Buf(k: Int, ord: Ordering[(Any, Any)]) {
     // max-heap: head = largest kept pair
-    private val heap = scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord)
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Any, Any)](ord)
 
-    def offer(s: String, p: Long): Unit = {
+    def offer(s: Any, p: Any): Unit = {
       if (heap.size < k) heap.enqueue((s, p))
       else if (ord.lt((s, p), heap.head)) { heap.dequeue(); heap.enqueue((s, p)) }
     }
 
-    def foreach(f: (String, Long) => Unit): Unit = heap.foreach { case (s, p) => f(s, p) }
+    def foreach(f: (Any, Any) => Unit): Unit = heap.foreach { case (s, p) => f(s, p) }
 
-    def items: Seq[(String, Long)] = heap.toSeq
+    def items: Seq[(Any, Any)] = heap.toSeq
 
     /** Payloads of the kept pairs in ascending (sort, payload) order. */
-    def sortedPayloads: Array[Long] = heap.toArray.sorted(ord).map(_._2)
+    def sortedPayloads: Array[Any] = heap.toArray.sorted(ord).map(_._2)
   }
 
   /** Aggregate Column: payloads of the `k` rows with the smallest

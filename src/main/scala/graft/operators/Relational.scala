@@ -872,16 +872,21 @@ object Relational {
     * summation-order tie-prone at the boundary. */
   val q38 = Q("q38_scalar_subquery",
     (s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("q38_customer")
-      s.sql("""
+      // unique per-call view name: a second concurrent catalog user would
+      // race on a static one. spark.sql analyzes eagerly, so the view can
+      // be dropped as soon as the frame is built.
+      val vn = s"q38_customer_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "customer").createOrReplaceTempView(vn)
+      try s.sql(s"""
         SELECT c_nationkey, count(*) AS n_top,
                round(min(c_acctbal), 2) AS min_top_bal
-        FROM q38_customer c
+        FROM $vn c
         WHERE c_acctbal >= 0.9 * (SELECT max(c2.c_acctbal)
-                                  FROM q38_customer c2
+                                  FROM $vn c2
                                   WHERE c2.c_nationkey = c.c_nationkey)
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")
+      finally s.catalog.dropTempView(vn)
     },
     Some("""
       SELECT c_nationkey, count(*) AS n_top,
@@ -901,15 +906,19 @@ object Relational {
     * gid is composed from grouping() bits identically on both sides. */
   val q39 = Q("q39_grouping_sets",
     (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("q39_orders")
-      s.sql("""
+      // unique per-call view name (q38 discipline), dropped after the
+      // eager analysis
+      val vn = s"q39_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "orders").createOrReplaceTempView(vn)
+      try s.sql(s"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
                count(*) AS n, round(sum(o_totalprice), 2) AS total
-        FROM q39_orders
+        FROM $vn
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY gid, status, priority""")
+      finally s.catalog.dropTempView(vn)
     },
     Some("""
       SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -50,6 +50,32 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got("h") == Seq(1L))
   }
 
+  test("topk_agg generalizes: long sort key with string payload, double sort key") {
+    import spark.implicits._
+    // top-2 earliest (long) timestamps keeping string ids
+    val df = Seq((1L, 30L, "x"), (1L, 10L, "y"), (1L, 20L, "z"), (2L, 5L, "w"))
+      .toDF("grp", "ts", "id").repartition(3)
+    val byLong = df.groupBy("grp")
+      .agg(TopKAgg.topk_agg(col("ts"), col("id"), 2).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byLong(1L) == Seq("y", "z") && byLong(2L) == Seq("w"))
+
+    // double sort key, long payload, tie on sort broken by payload
+    val dd = Seq(("g", 1.5, 7L), ("g", 0.5, 9L), ("g", 0.5, 4L), ("g", 2.5, 1L))
+      .toDF("grp", "score", "p").repartition(3)
+    val byDouble = dd.groupBy("grp")
+      .agg(TopKAgg.topk_agg(col("score"), col("p"), 3).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(byDouble("g") == Seq(4L, 9L, 7L))
+
+    // unsupported type still rejected at analysis
+    val bad = Seq(("g", Seq(1L), 1L)).toDF("grp", "arr", "p")
+    val e = intercept[Exception] {
+      bad.groupBy("grp").agg(TopKAgg.topk_agg(col("arr"), col("p"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("topk_agg"))
+  }
+
   test("topk_agg is SQL-registered with literal-k validation") {
     import spark.implicits._
     Seq(("g", "a", 1L)).toDF("grp", "s", "p").createOrReplaceTempView("tk")
