@@ -32,10 +32,8 @@ case class MinHashAgg(
 
   private val P = 2147483647L // 2^31 − 1, prime
 
-  @transient private lazy val ab: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((1 + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
-  }
+  @transient private lazy val ab: Array[(Long, Long)] =
+    MinHashAgg.hashParams(numHashes, seed)
 
   /** update() casts the input to Long, so require LongType at analysis
     * time — a ClassCastException mid-job is the wrong failure mode. */
@@ -98,6 +96,17 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  private val P = 2147483647L // 2^31 − 1, prime
+
+  /** The (a_i, b_i) universal-hash family for a given (numHashes, seed) —
+    * THE contract between this aggregate and any expression-space
+    * replication of the signature (graft.streaming.StreamDedup): both
+    * must draw from here or their sketches silently diverge. */
+  def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((1 + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
+  }
+
   /** Aggregate Column: minhash signature (array<long>) of a long-hash
     * column. Input should already be a stable per-token hash (e.g.
     * `pmod(xxhash64(word), 2^31−1)`). */

@@ -580,6 +580,80 @@ object TextOps {
       GROUP BY shard, pack
       ORDER BY shard, pack"""))
 
+  // ---------------------------------------------------------------- t16
+  /** Repetition filter (the Gopher-rule family, occurrence-fraction
+    * form): per document, the fraction of 2-gram/3-gram occurrences that
+    * are duplicates (1 − distinct/total) and the share of the single
+    * most frequent 2-gram — the signals that catch looping boilerplate,
+    * keyword-stuffed spam, and degenerate generations before training.
+    * `keep` applies the thresholds in one place.
+    *
+    * Scale shape: gram construction is scan-local expression work (the
+    * d04 slice+concat form); the only shuffles are one (doc_id, k, gram)
+    * count and one (doc_id) conditional roll-up — both partial-agg,
+    * keyed per document, no corpus-wide state. */
+  val t16 = Q("t16_repetition_filter",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("w", tokensExpr)
+      def gramRows(n: Int) = d
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), lit(n).as("k"),
+          explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("gram"))
+      val counts = gramRows(2).unionAll(gramRows(3))
+        .groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("c"))
+      val stats = counts.groupBy("doc_id").agg(
+        sum(when(col("k") === 2, col("c"))).as("tot2"),
+        count(when(col("k") === 2, lit(1))).as("dist2"),
+        max(when(col("k") === 2, col("c"))).as("top2"),
+        sum(when(col("k") === 3, col("c"))).as("tot3"),
+        count(when(col("k") === 3, lit(1))).as("dist3"))
+      docs(s, dir).select("doc_id").join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) - col("dist2").cast("double") / col("tot2"),
+            lit(0.0)), 4).as("dup2_frac"),
+          round(coalesce(col("top2").cast("double") / col("tot2"),
+            lit(0.0)), 4).as("top2_share"),
+          round(coalesce(lit(1.0) - col("dist3").cast("double") / col("tot3"),
+            lit(0.0)), 4).as("dup3_frac"))
+        .withColumn("keep",
+          col("dup2_frac") <= 0.6 && col("dup3_frac") <= 0.4 &&
+            col("top2_share") <= 0.1)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, 2 AS k,
+               unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM t WHERE len(w) >= 2
+        UNION ALL
+        SELECT doc_id, 3,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       FOR i IN range(1, len(w) - 1)])
+        FROM t WHERE len(w) >= 3),
+      c AS (SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      st AS (
+        SELECT doc_id,
+               sum(CASE WHEN k = 2 THEN c END) AS tot2,
+               count(CASE WHEN k = 2 THEN 1 END) AS dist2,
+               max(CASE WHEN k = 2 THEN c END) AS top2,
+               sum(CASE WHEN k = 3 THEN c END) AS tot3,
+               count(CASE WHEN k = 3 THEN 1 END) AS dist3
+        FROM c GROUP BY doc_id),
+      f AS (
+        SELECT d.doc_id,
+               round(coalesce(1.0 - dist2 * 1.0 / tot2, 0), 4) AS dup2_frac,
+               round(coalesce(top2 * 1.0 / tot2, 0), 4) AS top2_share,
+               round(coalesce(1.0 - dist3 * 1.0 / tot3, 0), 4) AS dup3_frac
+        FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)
+      SELECT doc_id, dup2_frac, top2_share, dup3_frac,
+             (dup2_frac <= 0.6 AND dup3_frac <= 0.4 AND top2_share <= 0.1) AS keep
+      FROM f
+      ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15)
+    t11, t12, t13, t14, t15, t16)
 }
