@@ -32,7 +32,8 @@ object Queries {
       operators.GraphOps.queries ++
       operators.MultimodalOps.queries ++
       operators.MapReduceQueries.queries ++
-      operators.ValidateOps.queries
+      operators.ValidateOps.queries ++
+      operators.PipelineOps.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

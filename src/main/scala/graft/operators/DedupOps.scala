@@ -46,7 +46,13 @@ object DedupOps {
     * the same corpus would perturb a count; at 2^-64 per pair of a
     * ~100k-word vocabulary the probability is ~1e-10 — ignorable. */
   private def hashedWordSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    hashedWordSetsOf(docs(s, dir))
+
+  /** Same representation over an arbitrary frame with (doc_id, text) —
+    * the entry point for pipelines running the dedup kernels on an
+    * already-filtered corpus slice (PipelineOps). */
+  private[graft] def hashedWordSetsOf(d: DataFrame): DataFrame =
+    d.select(
       col("doc_id"),
       array_sort(transform(wordsExpr, w => xxhash64(w))).as("hs"))
       .withColumn("sz", size(col("hs")))
@@ -657,5 +663,52 @@ object DedupOps {
       WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9
       ORDER BY doc_a, doc_b"""))
 
-  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  // ---------------------------------------------------------------- d10
+  /** INCREMENTAL near-dup: dedup a NEW batch against the EXISTING corpus
+    * — the daily-delta pattern. A 100 TB corpus is not re-deduped per
+    * ingest; each arriving batch is checked against the standing index
+    * and only new×old pairs are enumerated. The d07 prefix-filter kernel
+    * transposes one-sided: token document frequencies come from the full
+    * (old ∪ new) corpus — exactly what a standing index stores — and the
+    * candidate join matches NEW prefixes against OLD prefixes only, so
+    * old×old work (the quadratically dominant part as the corpus grows)
+    * is never generated. Completeness is the same pigeonhole guarantee
+    * as d07: any pair with Jaccard ≥ t shares a token in both docs'
+    * rarity prefixes, regardless of which side is new.
+    *
+    * Batch stand-in here: doc_id % 10 == 7 (a ~10% delta at any scale
+    * factor); a real run would pass the ingest frame as `isNew`. */
+  private[graft] def incrementalPairs(sets: DataFrame, isNew: Column,
+      threshold: Double): DataFrame = {
+    val pref = rarityPrefix(sets, threshold)
+    val cand = pref.filter(isNew).alias("x")
+      .join(pref.filter(!isNew).alias("y"), Seq("h"))
+      .filter(col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
+        col("x.sz") >= col("y.sz") * threshold - 1e-9 &&
+        first_common_long(col("x.prefh"), col("y.prefh")) === col("h"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    exactVerify(sets, cand, threshold)
+  }
+
+  val d10 = Q("d10_incremental_neardup",
+    (s, dir) =>
+      incrementalPairs(hashedWordSets(s, dir),
+          pmod(col("doc_id"), lit(10)) === 7, 0.9)
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+          round(col("jac"), 4).as("jaccard"))
+        .orderBy("doc_new", "doc_old"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents)
+      SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+             round(len(list_intersect(n.s, o.s)) * 1.0 /
+               (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))), 4) AS jaccard
+      FROM w n JOIN w o ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+      WHERE len(list_intersect(n.s, o.s)) * 1.0 /
+              (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.9
+      ORDER BY doc_new, doc_old"""))
+
+  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

@@ -85,5 +85,71 @@ object MergeOps {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
-  val queries: Seq[Q] = Seq(q35)
+  // ---------------------------------------------------------------- q42
+  /** SCD Type-2 history build — the other half of dimension maintenance
+    * next to q35's MERGE: collapse each customer's order-status timeline
+    * into versioned validity intervals, emitting a new version only when
+    * the tracked attribute CHANGES (gaps-and-islands, not one row per
+    * event). `valid_to` is the next version's `valid_from`; the open
+    * interval is flagged `is_current` — the standard shape a warehouse
+    * time-travel join expects.
+    *
+    * Scale shape: two window passes partitioned by customer (change
+    * marking + run numbering), one partial-agg roll-up per run, one more
+    * per-customer window for valid_to. Every stage is keyed by customer
+    * — bounded by orders-per-customer, embarrassingly parallel across
+    * customers, no global sort. */
+  val q42 = Q("q42_scd2_history",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runs = Tables.df(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .withColumn("chg",
+          when(lag("o_orderstatus", 1).over(w).isNull ||
+            lag("o_orderstatus", 1).over(w) =!= col("o_orderstatus"), 1)
+            .otherwise(0))
+        .withColumn("version", sum("chg")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = runs.groupBy("o_custkey", "version", "o_orderstatus")
+        .agg(min("o_orderdate").as("valid_from"),
+          count(lit(1)).as("n_orders"))
+      val wv = Window.partitionBy("o_custkey").orderBy("version")
+      iv.withColumn("valid_to", lead("valid_from", 1).over(wv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "version", "o_orderstatus", "valid_from",
+          "valid_to", "is_current", "n_orders")
+        .orderBy("o_custkey", "version")
+    },
+    Some("""
+      WITH runs AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+               CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                      OR lag(o_orderstatus) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      numbered AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS version
+        FROM runs),
+      iv AS (
+        SELECT o_custkey, version, o_orderstatus,
+               min(o_orderdate) AS valid_from, count(*) AS n_orders
+        FROM numbered
+        GROUP BY o_custkey, version, o_orderstatus)
+      SELECT o_custkey, version, o_orderstatus, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+               AS valid_to,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+               IS NULL AS is_current,
+             n_orders
+      FROM iv
+      ORDER BY o_custkey, version"""))
+
+  val queries: Seq[Q] = Seq(q35, q42)
 }

@@ -654,6 +654,49 @@ object TextOps {
       FROM f
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- t17
+  /** Corpus-LM quality scoring (the CCNet/KenLM-perplexity pattern with
+    * a unigram LM): train a maximum-likelihood unigram model on the
+    * corpus itself, then score each document by its mean token
+    * log10-probability. Rare-token-heavy (noisy, mojibake, off-language)
+    * documents score low; fluent in-distribution text scores high —
+    * the second axis of quality filtering next to t04's surface
+    * heuristics.
+    *
+    * Scale shape: one (token) count aggregate builds the LM (vocabulary-
+    * bounded, partial-agg); the corpus total is a broadcast 1-row
+    * crossJoin (the t07 trick, no collect); scoring is the token explode
+    * re-joined to the LM — at 100 TB the LM side is vocabulary-sized and
+    * broadcasts, so the corpus streams past once. The per-token log10 is
+    * exact IEEE double in both engines; the per-doc mean's summation-
+    * order jitter (~1e-13) dies under round(4). */
+  val t17 = Q("t17_unigram_logprob",
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(tokensExpr).as("w"))
+      val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = lm.agg(sum("c").as("total"))
+      tok.join(lm, "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(log10(col("c").cast("double") / col("total"))), 4)
+          .as("avg_logprob"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      lm AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+      tot AS (SELECT sum(c) AS total FROM lm)
+      SELECT t.doc_id,
+             round(avg(log10(lm.c * 1.0 / tot.total)), 4) AS avg_logprob,
+             count(*) AS n_tokens
+      FROM t JOIN lm ON t.w = lm.w CROSS JOIN tot
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16)
+    t11, t12, t13, t14, t15, t16, t17)
 }

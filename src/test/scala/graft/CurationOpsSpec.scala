@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{DedupOps, MergeOps, PipelineOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 operators on constructed data: incremental delta-vs-corpus
+  * near-dup (d10), the end-to-end curation pipeline (p01), SCD2 history
+  * (q42), and unigram-LM scoring (t17). */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+  import spark.implicits._
+
+  /** Write a fixture table under a fresh temp dir readable via Tables. */
+  private def fixtureDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
+    tables.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  // ------------------------------------------------------------- d10
+  test("incrementalPairs = full pair set restricted to new×old, new side first") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // old
+      (7L, "a b c d e f g h i j"), // new (id%10==7), dup of 1
+      (17L, "a b c d e f g h i k"), // new, jac vs 1 = 9/11 < 0.9
+      (27L, "a b c d e f g h i j"), // new, dup of 1 (and of 7)
+      (2L, "q r s t u v w x y z"), // old
+      (12L, "q r s t u v w x y z") // old, dup of 2 — old×old, must not emit
+    ).toDF("doc_id", "text")
+    val sets = DedupOps.hashedWordSetsOf(docs)
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+
+    val got = DedupOps.incrementalPairs(sets, isNew, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((7L, 1L), (27L, 1L)))
+
+    // equivalence: exactly the straddling subset of the d07 kernel's
+    // (complete) pair set, reoriented new-first
+    val full = DedupOps.prefixFilterPairsOn(sets, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val straddle = full.collect {
+      case (a, b) if a % 10 == 7 && b % 10 != 7 => (a, b)
+      case (a, b) if b % 10 == 7 && a % 10 != 7 => (b, a)
+    }
+    assert(got == straddle)
+  }
+
+  // ------------------------------------------------------------- p01
+  test("curated drops quality/lang/exact-dup/near-dup failures, keeps representatives") {
+    def doc(id: Long, lang: String, text: String) =
+      (id, text, lang, "src0", text.length.toLong)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct tokens
+    val near = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ") // jac 39/41 ≈ 0.95
+    val docs = Seq(
+      doc(1, "en", base), // kept: representative
+      doc(2, "en", base), // exact dup of 1 → dropped
+      doc(3, "en", near), // near-dup of 1 → dropped
+      doc(4, "zh", (1 to 40).map(i => s"z$i").mkString(" ")), // lang → dropped
+      doc(5, "en", "too short"), // < 30 tokens → dropped
+      doc(6, "en", (1 to 30).map(_ => "x" * 20).mkString(" ")), // 20 chars/token → dropped
+      doc(7, "en", (1 to 35).map(i => s"v$i").mkString(" ")) // kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val kept = PipelineOps.curated(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L))
+  }
+
+  // ------------------------------------------------------------- q42
+  test("SCD2 collapses status runs into chained validity intervals") {
+    val d = java.sql.Date.valueOf(_: String)
+    val orders = Seq(
+      // cust 1: O,O,F,O — three versions (run-collapse, not per-order)
+      (1L, 101L, d("2024-01-01"), "O"),
+      (1L, 102L, d("2024-02-01"), "O"),
+      (1L, 103L, d("2024-03-01"), "F"),
+      (1L, 104L, d("2024-04-01"), "O"),
+      // cust 2: same date ties broken by orderkey: F(201) then O(202)
+      (2L, 201L, d("2024-05-01"), "F"),
+      (2L, 202L, d("2024-05-01"), "O")
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val dir = fixtureDir("orders" -> orders)
+    val got = MergeOps.q42.build(spark, dir)
+      .select("o_custkey", "version", "o_orderstatus", "valid_from",
+        "valid_to", "is_current", "n_orders")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3).toString, Option(r.getDate(4)).map(_.toString),
+        r.getBoolean(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, "O", "2024-01-01", Some("2024-03-01"), false, 2L),
+      (1L, 2L, "F", "2024-03-01", Some("2024-04-01"), false, 1L),
+      (1L, 3L, "O", "2024-04-01", None, true, 1L),
+      (2L, 1L, "F", "2024-05-01", Some("2024-05-01"), false, 1L),
+      (2L, 2L, "O", "2024-05-01", None, true, 1L)))
+  }
+
+  // ------------------------------------------------------------- t17
+  test("unigram logprob golden: hand-computed means") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = fixtureDir("documents" -> docs)
+    val got = TextOps.t17.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // counts: a=2 b=2 c=1, total=5
+    // doc 1: tokens a,a,b → all p=0.4 → avg log10 = -0.3979
+    // doc 2: (log10(0.4) + log10(0.2)) / 2 = -0.5485
+    assert(got == Seq((1L, -0.3979, 3L), (2L, -0.5485, 2L)))
+  }
+}
