@@ -91,4 +91,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
         if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
       }
   }
+
+  test("first_common_long rejects nullable-element arrays at analysis time") {
+    import spark.implicits._
+    // containsNull=true elements would be read as arbitrary longs by
+    // getLong — the type check must refuse them, not mis-evaluate
+    val df = Seq((Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(1L))))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.first_common_long(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("first_common_long") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
