@@ -291,5 +291,74 @@ object SimilarityOps {
       GROUP BY cid
       ORDER BY cid"""))
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  // ---------------------------------------------------------------- s07
+  /** Product-quantization encode — the codebook compression layer under
+    * a disk-resident ANN index (IVF-PQ): split each 64-d vector into
+    * M=4 16-d subvectors and store, per subspace, only the id of the
+    * nearest of k=8 codebook centroids → 4 small ints instead of 256
+    * bytes of floats. Codebook here = the subvectors of vec_id 0..7
+    * (deterministic seed centroids, the s06 convention); a production
+    * build would train them with s06's Lloyd iterations per subspace.
+    *
+    * Scale shape: the codebook is M×k = 32 rows — broadcast; encoding
+    * is one pass over the corpus (explode to M subvector rows, join,
+    * partial-agg argmin, re-pivot). Nothing scales with corpus size
+    * except the scan. All distances are exact IEEE doubles computed in
+    * identical order in both engines, and the output is pure integers
+    * (argmin ties broken toward the smaller centroid id), so the oracle
+    * hash cannot flake on float formatting. */
+  val s07 = Q("s07_pq_encode",
+    (s, dir) => {
+      val subs = emb(s, dir)
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 3), m -> " +
+            "struct(m as m, slice(v, m * 16 + 1, 16) as sub))")).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      val cents = subs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
+      val best = subs.join(broadcast(cents), "m")
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (acc, z) -> acc + z)"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.cid").as("code"))
+      best.groupBy("vec_id")
+        .agg(max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      subs AS (
+        SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sub
+        FROM v, (SELECT unnest(range(0, 4)) AS m)),
+      cents AS (
+        SELECT vec_id AS cid, m, sub AS csub FROM subs WHERE vec_id < 8),
+      dd AS (
+        SELECT s.vec_id, s.m, c.cid,
+               list_sum(list_transform(range(1, 17),
+                 i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i])))
+                 AS dist
+        FROM subs s JOIN cents c ON s.m = c.m),
+      md AS (SELECT vec_id, m, min(dist) AS md FROM dd GROUP BY 1, 2),
+      best AS (
+        SELECT dd.vec_id, dd.m, min(cid) AS code
+        FROM dd JOIN md USING (vec_id, m)
+        WHERE dist = md
+        GROUP BY 1, 2)
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN code END) AS c0,
+             max(CASE WHEN m = 1 THEN code END) AS c1,
+             max(CASE WHEN m = 2 THEN code END) AS c2,
+             max(CASE WHEN m = 3 THEN code END) AS c3
+      FROM best
+      GROUP BY vec_id
+      ORDER BY vec_id"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

@@ -697,6 +697,70 @@ object TextOps {
       GROUP BY t.doc_id
       ORDER BY t.doc_id"""))
 
+  // ---------------------------------------------------------------- t18
+  /** Materialize the temperature-sampled mixture t10 only *plans*: each
+    * source gets keep-probability p = min(1, ½ · w/f) where w is its
+    * t10 mixture weight (sqrt-temperature) and f its natural token
+    * share — rare sources keep (nearly) everything, dominant sources
+    * are cut toward the target mix. Membership is decided by a digest
+    * gate on doc_id (the t13/q31 primitive), so the sample is
+    * reproducible across runs, engines, and repartitions — no rand(),
+    * no seed state.
+    *
+    * Scale shape: the rate table is #sources rows (broadcast); the gate
+    * is scan-local expression math; the only corpus-wide shuffles are
+    * the per-source token aggregate and the final roll-up — both
+    * partial-agg. At 100 TB the same plan emits the kept rows
+    * themselves; the catalog entry rolls them up per source so the
+    * result is compact and oracle-checkable. */
+  val t18 = Q("t18_mixture_sample",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokensExpr).cast("long").as("n"))
+      val per = d.groupBy("source").agg(sum("n").as("tokens"))
+      val tot = per.agg(sum("tokens").as("total"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("w", sqrt(col("tokens").cast("double")))
+        .withColumn("p_keep", least(lit(1.0),
+          col("w") / sum("w").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()) *
+            col("total").cast("double") / col("tokens").cast("double") *
+            lit(0.5)))
+        .select(col("source"), col("p_keep"))
+      d.join(rates, "source")
+        .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(1000000)).cast("double") <
+          col("p_keep") * 1e6)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n").as("kept_tokens"))
+        .join(rates, "source")
+        .select(col("source"), round(col("p_keep"), 6).as("p_keep"),
+          col("n_kept"), col("kept_tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        FROM documents),
+      per AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS tokens FROM d GROUP BY source),
+      tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per),
+      rates AS (
+        SELECT source,
+               least(1.0, sqrt(CAST(tokens AS DOUBLE)) /
+                 sum(sqrt(CAST(tokens AS DOUBLE))) OVER () *
+                 total / tokens * 0.5) AS p_keep
+        FROM per CROSS JOIN tot)
+      SELECT d.source, round(r.p_keep, 6) AS p_keep,
+             count(*) AS n_kept,
+             CAST(sum(d.n) AS BIGINT) AS kept_tokens
+      FROM d JOIN rates r ON d.source = r.source
+      WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS DOUBLE) < r.p_keep * 1e6
+      GROUP BY d.source, r.p_keep
+      ORDER BY d.source"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17)
+    t11, t12, t13, t14, t15, t16, t17, t18)
 }

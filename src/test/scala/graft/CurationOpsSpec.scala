@@ -101,6 +101,49 @@ class CurationOpsSpec extends AnyFunSuite {
       (2L, 2L, "O", "2024-05-01", None, true, 1L)))
   }
 
+  // ------------------------------------------------------------- t18
+  test("mixture sampling keeps rare sources whole and cuts dominant ones") {
+    // srcA: 50 docs × 40 tokens (dominant); srcB: 2 docs × 40 tokens (rare)
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 50).map(i => (i.toLong, text, "en", "srcA", 200L)) ++
+      Seq((100L, text, "en", "srcB", 200L), (101L, text, "en", "srcB", 200L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val got = TextOps.t18.build(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // rare source: w/f ratio far above 2 → p capped at 1.0, all docs kept
+    assert(got("srcB") == ((1.0, 2L, 80L)))
+    // dominant source: p = ½·w/f < 1 and the digest gate cuts roughly p·n
+    val (pA, keptA, _) = got("srcA")
+    assert(pA < 1.0 && keptA < 50 && keptA > 0)
+  }
+
+  // ------------------------------------------------------------- s07
+  test("PQ encode assigns each subvector its nearest seed centroid, ties to smaller id") {
+    // 8 seed vectors: vec k = constant k across all 64 dims, except seed 1
+    // duplicates seed 0 → any vector nearest to them must code 0 (tie rule)
+    def const(x: Float) = Seq.fill(64)(x)
+    val seeds = (0 until 8).map(k =>
+      (k.toLong, if (k == 1) const(0f) else const(k.toFloat), 0))
+    val probes = Seq(
+      (100L, const(0.2f), 0), // nearest 0 (and dup 1) in all subspaces → 0
+      (101L, const(6.8f), 0), // nearest 7
+      (102L, (Seq.fill(16)(2.1f) ++ Seq.fill(48)(4.9f)).toSeq, 0)) // 2 then 5
+    val emb = (seeds ++ probes).toDF("vec_id", "embedding", "label")
+    val dir = fixtureDir("embeddings" -> emb)
+    val got = operators.SimilarityOps.s07.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(100L) == ((0L, 0L, 0L, 0L)))
+    assert(got(101L) == ((7L, 7L, 7L, 7L)))
+    assert(got(102L) == ((2L, 5L, 5L, 5L)))
+    // seeds code to themselves (except the duplicate, which ties to 0)
+    assert(got(0L) == ((0L, 0L, 0L, 0L)))
+    assert(got(1L) == ((0L, 0L, 0L, 0L)))
+    assert(got(7L) == ((7L, 7L, 7L, 7L)))
+  }
+
   // ------------------------------------------------------------- t17
   test("unigram logprob golden: hand-computed means") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
