@@ -50,6 +50,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == straddle)
   }
 
+  test("incremental near-dup completeness on randomized template corpora") {
+    // the d07 generator, split 10%-new: mutate a 40-word template by 0-4
+    // swaps so Jaccard straddles the threshold — the regime where a wrong
+    // one-sided prefix would silently drop straddling pairs
+    val rnd = new scala.util.Random(4321)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val template = rnd.shuffle(vocab).take(40)
+    val df = (0L until 40L).map { id =>
+      val k = rnd.nextInt(5)
+      val words = template.toArray
+      (0 until k).foreach { _ =>
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = DedupOps.hashedWordSetsOf(df)
+    val got = DedupOps.incrementalPairs(sets,
+        pmod(col("doc_id"), lit(10)) === 7, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // ground truth: exact quadratic, restricted to new×old, new side first
+    val w = df.select(col("doc_id"),
+      expr("array_distinct(filter(split(text,' '), x -> x != ''))").as("s"))
+    val truth = w.alias("a").join(w.alias("b"),
+        col("a.doc_id") =!= col("b.doc_id") &&
+          pmod(col("a.doc_id"), lit(10)) === 7 &&
+          pmod(col("b.doc_id"), lit(10)) =!= 7)
+      .withColumn("j", functions.VectorFunctions
+        .jaccard_similarity(col("a.s"), col("b.s")))
+      .filter(col("j") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(truth.size > 3, s"generator degenerate: ${truth.size} straddling pairs")
+  }
+
   // ------------------------------------------------------------- p01
   test("curated drops quality/lang/exact-dup/near-dup failures, keeps representatives") {
     def doc(id: Long, lang: String, text: String) =
