@@ -67,5 +67,55 @@ object ValidateOps {
                   AND n_null_date = 0 AS BIGINT) AS all_pass
       FROM c"""))
 
-  val queries: Seq[Q] = Seq(v01)
+  // ---------------------------------------------------------------- v02
+  /** Row-level quarantine routing — v01 tells you THAT the batch has
+    * violations; this splits out WHICH rows and WHY, the badRecords
+    * side-channel of a production ingest: every failing row carries the
+    * array of expectation names it violated, so the quarantine is
+    * re-processable per reason. The clean side is the complement
+    * (`size(reasons) == 0`) of the same one-pass expression — no second
+    * scan, no join.
+    *
+    * Scale shape: entirely scan-local expression work (the reasons array
+    * is built per row in codegen) plus the output sort; at 100 TB the
+    * two sides are one `partitionBy("clean")` write. */
+  val v02 = Q("v02_quarantine",
+    (s, dir) => {
+      val d = Tables.df(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), x -> x != '')")))
+      d.withColumn("reasons", array_compact(array(
+          when(col("n_tokens") < 30, lit("too_few_tokens")),
+          when(col("n_tokens") > 0 &&
+            col("n_chars").cast("double") / col("n_tokens") > 13.0,
+            lit("bad_token_len")),
+          when(!col("lang").isin("en", "de", "es", "fr"),
+            lit("off_mix_lang")))))
+        .filter(size(col("reasons")) > 0)
+        .select(col("doc_id"), col("lang"), col("reasons"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+               list_filter([
+                 CASE WHEN n_tokens < 30 THEN 'too_few_tokens' END,
+                 CASE WHEN n_tokens > 0
+                       AND n_chars * 1.0 / n_tokens > 13.0
+                      THEN 'bad_token_len' END,
+                 CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr')
+                      THEN 'off_mix_lang' END],
+                 x -> x IS NOT NULL) AS reasons
+        FROM d)
+      SELECT doc_id, lang, reasons
+      FROM r
+      WHERE len(reasons) > 0
+      ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(v01, v02)
 }

@@ -106,6 +106,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 7L))
   }
 
+  // ------------------------------------------------------------- v02
+  test("quarantine routes each failing row with its reason list") {
+    def doc(id: Long, lang: String, text: String) =
+      (id, text, lang, "src0", text.length.toLong)
+    val docs = Seq(
+      doc(1, "en", (1 to 40).map(i => s"w$i").mkString(" ")), // clean
+      doc(4, "zh", (1 to 40).map(i => s"z$i").mkString(" ")), // off-mix lang
+      doc(5, "en", "too short"), // too few tokens
+      doc(6, "en", (1 to 30).map(_ => "x" * 20).mkString(" ")), // long tokens
+      doc(8, "zh", "nope") // both lang and length
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val got = operators.ValidateOps.v02.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+    assert(got == Map(
+      4L -> List("off_mix_lang"),
+      5L -> List("too_few_tokens"),
+      6L -> List("bad_token_len"),
+      8L -> List("too_few_tokens", "off_mix_lang")))
+  }
+
   // ------------------------------------------------------------- q42
   test("SCD2 collapses status runs into chained validity intervals") {
     val d = java.sql.Date.valueOf(_: String)
