@@ -117,5 +117,48 @@ object ValidateOps {
       WHERE len(reasons) > 0
       ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(v01, v02)
+  // ---------------------------------------------------------------- v03
+  /** Cross-table referential integrity — the third leg of the validation
+    * family: count FK orphans along the star schema's spine (lineitem →
+    * orders → customer, supplier → nation) in one declarative plan.
+    * Anti-joins, not EXISTS-per-row: Catalyst broadcasts the small
+    * parent side (nation, customer) and sort-merges the fact-sized one
+    * (orders' keys against lineitem) — the only RI-check shape that
+    * survives a 100 TB fact table. The three 1-row counts attach by
+    * broadcast crossJoin (the t07 scalar pattern).
+    *
+    * Zero orphans on the TPC-H-ish fixture IS the assertion — a
+    * validation gate must pass on clean data; the constructed-orphan
+    * case is pinned in CurationOpsSpec. */
+  val v03 = Q("v03_referential_integrity",
+    (s, dir) => {
+      def orphanCount(child: DataFrame, key: String, parent: DataFrame,
+          pkey: String, as: String): DataFrame =
+        child.select(col(key))
+          .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).as(as))
+      val li = orphanCount(Tables.df(s, dir, "lineitem"), "l_orderkey",
+        Tables.df(s, dir, "orders"), "o_orderkey", "orphan_lineitems")
+      val oc = orphanCount(Tables.df(s, dir, "orders"), "o_custkey",
+        Tables.df(s, dir, "customer"), "c_custkey", "orphan_orders")
+      val sn = orphanCount(Tables.df(s, dir, "supplier"), "s_nationkey",
+        Tables.df(s, dir, "nation"), "n_nationkey", "orphan_suppliers")
+      li.crossJoin(broadcast(oc)).crossJoin(broadcast(sn))
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+          AS orphan_lineitems,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+          AS orphan_orders,
+        (SELECT count(*) FROM supplier s
+         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                           WHERE n.n_nationkey = s.s_nationkey))
+          AS orphan_suppliers"""))
+
+  val queries: Seq[Q] = Seq(v01, v02, v03)
 }

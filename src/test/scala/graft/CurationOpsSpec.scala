@@ -127,6 +127,24 @@ class CurationOpsSpec extends AnyFunSuite {
       8L -> List("too_few_tokens", "off_mix_lang")))
   }
 
+  // ------------------------------------------------------------- v03
+  test("referential integrity counts orphans per FK edge") {
+    import java.sql.Date
+    val orders = Seq((1L, 10L, Date.valueOf("2024-01-01"), "O", 5.0),
+      (2L, 99L, Date.valueOf("2024-01-02"), "O", 6.0)) // cust 99 missing
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+        "o_totalprice")
+    val lineitem = Seq((1L, 1.0), (1L, 2.0), (7L, 3.0), (8L, 4.0)) // 2 orphans
+      .toDF("l_orderkey", "l_quantity")
+    val customer = Seq((10L, "a")).toDF("c_custkey", "c_name")
+    val supplier = Seq((1L, 0L), (2L, 5L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "x")).toDF("n_nationkey", "n_name")
+    val dir = fixtureDir("orders" -> orders, "lineitem" -> lineitem,
+      "customer" -> customer, "supplier" -> supplier, "nation" -> nation)
+    val r = operators.ValidateOps.v03.build(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
   // ------------------------------------------------------------- q42
   test("SCD2 collapses status runs into chained validity intervals") {
     val d = java.sql.Date.valueOf(_: String)
