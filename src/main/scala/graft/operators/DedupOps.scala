@@ -110,10 +110,17 @@ object DedupOps {
     // emission in expression space, replacing a distinct() that had to
     // shuffle every (pair × matching-band) copy — the near-dup-heavy
     // corpus made that ~16× the distinct pair volume
+    // materialized ONCE (localCheckpoint): the band frame feeds three
+    // consumers — hot-bucket detection and both sides of the candidate
+    // self-join — and without it each consumer re-runs the scan +
+    // tokenize + minhash-sketch pipeline (measured ~23 s → ~13 s for d02
+    // at sf0.1). 16 rows × ~150 bytes per doc ≈ shuffle-file scale, the
+    // same materialization a 100 TB run would park in the LSH index.
     val bands = sigs
       .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .localCheckpoint()
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
     // (AQE can split the partitions but not shrink the pair volume). Docs
@@ -144,7 +151,9 @@ object DedupOps {
       .filter(col("x.doc_id") < col("y.doc_id") &&
         !(col("x.hot") && col("y.hot")) && col("band") === firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val sets = hashedWordSets(s, dir)
+    // same once-materialization as `bands`: the hashed word sets feed
+    // both verify sides and the hot-doc fallback kernel
+    val sets = hashedWordSets(s, dir).localCheckpoint()
     // exact verify on candidates only, over sorted-long word sets; hot
     // docs' mutual pairs come from the exact kernel (disjoint from the
     // cold set by the both-hot filter above, so a plain union)
@@ -317,8 +326,15 @@ object DedupOps {
     * doubling algorithm the guarantee. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       crossoverAfter: Int = 8): DataFrame = {
+    // materialize the (usually expensive) edge plan ONCE — without this
+    // every round's join re-runs the upstream pipeline that produced the
+    // pairs (for dedup graphs: the whole prefix-filter + verify kernel),
+    // turning an O(diameter)-round loop into O(diameter) corpus passes
+    // (measured 30 s → 8 s on p01 at sf0.1). The pair graph is tiny
+    // relative to the corpus, so this is the 100 TB shape too.
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
@@ -396,16 +412,21 @@ object DedupOps {
         coalesce(col("component"), col("node")).as("component"))
   }
 
-  /** Near-dup cluster assignment: connected components over the d02 pair
-    * graph. Every document in at least one ≥0.9-Jaccard pair gets
+  /** Near-dup cluster assignment: connected components over the verified
+    * ≥0.9-Jaccard pair graph. Every document in at least one pair gets
     * `cluster_id` = the smallest doc_id in its transitive group — the
     * "keep one representative per duplicate group" primitive of a
     * training-data dedup pass (d01 is the exact-match special case).
+    * The pair graph comes from the d07 prefix-filter kernel: same exact
+    * verified pair set as d02's LSH path, but with a completeness
+    * GUARANTEE and ~7× less join volume on this template-heavy corpus
+    * (18 s vs 2.4 s at sf0.1 — BASELINE round-5 ledger), so clustering
+    * rides the cheaper kernel.
     * Oracle: DuckDB recursive CTE computing min reachable id over the
     * same (quadratic, exact) pair set. */
   val d06 = Q("d06_dedup_clusters",
     (s, dir) =>
-      connectedComponents(nearDupPairs(s, dir).select("doc_a", "doc_b"))
+      connectedComponents(prefixFilterPairs(s, dir).select("doc_a", "doc_b"))
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id"),
     Some("""
