@@ -67,7 +67,12 @@ object GraphOps {
     * O(m^1.5) total. Same two-equi-join shape, same shuffles, no new
     * operator — just a better orientation. */
   def triangleCountDegreeOrdered(edges: DataFrame): DataFrame = {
-    val o = degreeOriented(edges)
+    // materialize the oriented edge frame ONCE: it feeds both wedge
+    // sides and the closure join, and `degreeOriented` itself reads its
+    // input twice (degree agg + join) — without this each of the ~4
+    // consumers re-runs whatever pipeline produced the edges (for g01:
+    // the whole near-dup pair kernel; measured 150 s → ~8 s at sf0.1)
+    val o = degreeOriented(edges.localCheckpoint()).localCheckpoint()
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
     val wedges = o.alias("x")
@@ -82,12 +87,15 @@ object GraphOps {
   // ---------------------------------------------------------------- g01
   /** Triangle count of the ≥0.9-Jaccard near-dup graph — a structure
     * probe for dedup clusters (near-cliques are triangle-dense; chains
-    * of borderline pairs are not). Oracle: DuckDB closes the same
-    * wedges over the quadratic exact pair set. */
+    * of borderline pairs are not). The pair graph rides the d07 prefix
+    * kernel (same exact verified pair set as the LSH path, completeness
+    * guaranteed, ~7× cheaper on this corpus — the d06 decision).
+    * Oracle: DuckDB closes the same wedges over the quadratic exact
+    * pair set. */
   val g01 = Q("g01_neardup_triangles",
     (s, dir) =>
       triangleCountDegreeOrdered(
-        DedupOps.nearDupPairs(s, dir).select("doc_a", "doc_b")),
+        DedupOps.prefixFilterPairs(s, dir).select("doc_a", "doc_b")),
     Some("""
       WITH w AS (
         SELECT doc_id,
