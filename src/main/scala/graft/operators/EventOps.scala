@@ -366,5 +366,75 @@ object EventOps {
       GROUP BY k_bucket
       ORDER BY k_bucket"""))
 
-  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  // ---------------------------------------------------------------- e11
+  /** Hourly volume anomaly detection: flag (event_type, hour) cells
+    * whose count is ≥ 2 sample standard deviations from that type's
+    * hourly mean — the monitoring primitive run over ingest telemetry
+    * (traffic spikes, dead sources) before a batch is trusted.
+    *
+    * The variance is computed from exact integer power sums
+    * (Σn, Σn²) rather than a stddev aggregate: Spark and DuckDB
+    * implement stddev with different update algorithms whose last-ulp
+    * outputs differ, which would make a knife-edge |z| ≥ 2 flip between
+    * engines — power sums of BIGINTs are exact, so every double below
+    * derives from identical integers through identical IEEE ops and
+    * the threshold comparison cannot flake.
+    *
+    * Scale shape: two partial-agg shuffles, both on bounded key spaces
+    * ((type, hour), then type); the stats side is #types rows and
+    * broadcasts back onto the hourly frame. */
+  val e11 = Q("e11_hourly_anomaly",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+            .as("hour_s"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val cntD = col("cnt").cast("double")
+      val s1D = col("s1").cast("double")
+      val s2D = col("s2").cast("double")
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("mean", s1D / cntD)
+        .withColumn("variance", (s2D - s1D * s1D / cntD) / (cntD - 1.0))
+        .filter(col("variance") > 0.0)
+        .withColumn("z", (col("n").cast("double") - col("mean")) /
+          sqrt(col("variance")))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("hour_s"), col("n"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_type", "hour_s")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                 '%Y-%m-%d %H:%M') AS hour_s,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS cnt,
+               CAST(sum(n) AS BIGINT) AS s1,
+               CAST(sum(n * n) AS BIGINT) AS s2
+        FROM hourly
+        GROUP BY event_type),
+      z AS (
+        SELECT h.event_type, h.hour_s, h.n,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
+                 AS variance,
+               CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+      SELECT event_type, hour_s, n,
+             round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4) AS z
+      FROM z
+      WHERE variance > 0.0
+        AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) >= 2.0
+      ORDER BY event_type, hour_s"""))
+
+  val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
+    e11)
 }

@@ -218,6 +218,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(7L) == ((7L, 7L, 7L, 7L)))
   }
 
+  // ------------------------------------------------------------- e11
+  test("hourly anomaly flags the spike hour with the hand-computed z") {
+    // type a: 11 hours of 1 event + a 12-hour spike of 12 events.
+    // power sums: s1=23, s2=155, cnt=12 → mean=23/12, var=10.0833…,
+    // z(spike)=10.0833/sqrt(10.0833)=sqrt(var)=3.1754. Type b is
+    // constant → variance 0 → filtered, never a NaN row.
+    val base = 1704067200L * 1000000000L // 2024-01-01 00:00:00 UTC in nanos
+    def at(hour: Int, j: Int) = base + hour * 3600L * 1000000000L + j * 1000000000L
+    val events =
+      ((0 until 11).map(h => ("a", at(h, 0))) ++
+        (0 until 12).map(j => ("a", at(11, j))) ++
+        (0 until 4).map(h => ("b", at(h, 0)))).toDF("event_type", "ts")
+    val dir = fixtureDir("events" -> events)
+    val got = operators.EventOps.e11.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "2024-01-01 11:00", 12L, 3.1754)))
+  }
+
   // ------------------------------------------------------------- t17
   test("unigram logprob golden: hand-computed means") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
