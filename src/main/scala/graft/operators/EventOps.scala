@@ -385,11 +385,14 @@ object EventOps {
     * broadcasts back onto the hourly frame. */
   val e11 = Q("e11_hourly_anomaly",
     (s, dir) => {
+      // bounded at #types × #hours; materialized once so the event scan
+      // behind it runs once for its two consumers (stats + the join)
       val hourly = ev(s, dir)
         .groupBy(col("event_type"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
             .as("hour_s"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val stats = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
           sum(col("n") * col("n")).as("s2"))

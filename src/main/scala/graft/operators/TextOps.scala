@@ -673,7 +673,10 @@ object TextOps {
   val t17 = Q("t17_unigram_logprob",
     (s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"), explode(tokensExpr).as("w"))
-      val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      // vocabulary-bounded; materialized once so the corpus-tokenize +
+      // count pipeline behind it runs once for its two consumers (the
+      // scoring join and the 1-row total)
+      val lm = tok.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
       val total = lm.agg(sum("c").as("total"))
       tok.join(lm, "w")
         .crossJoin(broadcast(total))
@@ -727,13 +730,15 @@ object TextOps {
             col("total").cast("double") / col("tokens").cast("double") *
             lit(0.5)))
         .select(col("source"), col("p_keep"))
+      // group by (source, p_keep) — p_keep is functionally dependent on
+      // source, so this carries the rate into the output without a
+      // second join against `rates` (which would re-aggregate the corpus)
       d.join(rates, "source")
         .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
           16, 10).cast("long"), lit(1000000)).cast("double") <
           col("p_keep") * 1e6)
-        .groupBy("source")
+        .groupBy("source", "p_keep")
         .agg(count(lit(1)).as("n_kept"), sum("n").as("kept_tokens"))
-        .join(rates, "source")
         .select(col("source"), round(col("p_keep"), 6).as("p_keep"),
           col("n_kept"), col("kept_tokens"))
         .orderBy("source")
