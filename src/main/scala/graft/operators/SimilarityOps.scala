@@ -104,42 +104,46 @@ object SimilarityOps {
     * the corpus is scanned once to build cell assignments, and each query
     * touches ~2/k of the data. Approximate → rows-only gate; recall vs
     * s01 is asserted in SimilarityIvfSpec. */
+  /** Deterministic UNBIASED sample → k coarse centroids: ordering by a
+    * hash of the id is a reproducible shuffle, so the 256 rows spread
+    * across the corpus instead of being the 256 lowest ids (which would
+    * train all centroids on one corner of the id space). Bounded driver
+    * cost: TakeOrdered over 256 rows. (k-means|| seeding is overkill.) */
+  private def ivfCentroids(e: DataFrame, k: Int = 8): Seq[Array[Double]] = {
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256).collect()
+    (0 until k).map { i =>
+      sample(i * math.max(1, sample.length / k) % sample.length)
+        .getSeq[Double](2).toArray
+    }
+  }
+
+  private def cellDists(centroids: Seq[Array[Double]], vcol: String) =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = expr(
+        s"aggregate(zip_with($vcol, array(${c.mkString(",")}), (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+
+  /** Nearest coarse cell for the vector in `vcol`. */
+  private def nearestCellExpr(centroids: Seq[Array[Double]],
+      vcol: String): org.apache.spark.sql.Column =
+    least(cellDists(centroids, vcol): _*).getField("cell")
+
+  /** Runner-up coarse cell (the second probe). */
+  private def secondCellExpr(centroids: Seq[Array[Double]],
+      vcol: String): org.apache.spark.sql.Column =
+    array_sort(array(cellDists(centroids, vcol): _*)).getItem(1).getField("cell")
+
   val s03 = Q("s03_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
-      val k = 8
-      // deterministic UNBIASED sample → k centroids: ordering by a hash of
-      // the id is a reproducible shuffle, so the 256 rows spread across the
-      // corpus instead of being the 256 lowest ids (which would train all
-      // centroids on one corner of the id space). Bounded driver cost:
-      // TakeOrdered over 256 rows. (k-means|| seeding is overkill here.)
-      val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256).collect()
-      val centroids = (0 until k).map { i =>
-        sample(i * math.max(1, sample.length / k) % sample.length)
-          .getSeq[Double](2).toArray
-      }
-      def nearestCell(vcol: String): org.apache.spark.sql.Column = {
-        val dists = centroids.zipWithIndex.map { case (c, i) =>
-          val d = expr(
-            s"aggregate(zip_with($vcol, array(${c.mkString(",")}), (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-          struct(d.as("d"), lit(i).as("cell"))
-        }
-        least(dists: _*).getField("cell")
-      }
-      val assigned = e.withColumn("cell", nearestCell("v"))
+      val centroids = ivfCentroids(e)
+      val assigned = e.withColumn("cell", nearestCellExpr(centroids, "v"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
       // queries probe their own cell and the runner-up cell
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
-      val probe2 = {
-        val dists = centroids.zipWithIndex.map { case (c, i) =>
-          val d = expr(
-            s"aggregate(zip_with(qv, array(${c.mkString(",")}), (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-          struct(d.as("d"), lit(i).as("cell"))
-        }
-        array_sort(array(dists: _*)).getItem(1).getField("cell")
-      }
-      val probes = q.withColumn("cell2", probe2)
+      val probes = q.withColumn("cell2", secondCellExpr(centroids, "qv"))
         .select(col("query_id"), col("qv"),
           explode(array(col("cell"), col("cell2"))).as("cell"))
       assigned.join(broadcast(probes), Seq("cell"))
@@ -307,22 +311,34 @@ object SimilarityOps {
     * identical order in both engines, and the output is pure integers
     * (argmin ties broken toward the smaller centroid id), so the oracle
     * hash cannot flake on float formatting. */
+  /** One row per (vec_id, m): the M=4 16-d subvectors of each vector. */
+  private def pqSubvectors(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 3), m -> " +
+        "struct(m as m, slice(v, m * 16 + 1, 16) as sub))")).as("e"))
+    .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+
+  /** Seed codebook (s06 convention): subvectors of vec_id 0..7 as
+    * (cid, m, csub) — M×k = 32 rows, always broadcast. */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
+
+  /** (vec_id, m, code): nearest codebook centroid per subspace, ties to
+    * the smaller centroid id. */
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook), "m")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, z) -> acc + z)"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cid").as("code"))
+
   val s07 = Q("s07_pq_encode",
     (s, dir) => {
-      val subs = emb(s, dir)
-        .select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 3), m -> " +
-            "struct(m as m, slice(v, m * 16 + 1, 16) as sub))")).as("e"))
-        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
-      val cents = subs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("m"), col("sub").as("csub"))
-      val best = subs.join(broadcast(cents), "m")
-        .withColumn("dist", expr(
-          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
-            "0D, (acc, z) -> acc + z)"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("cid"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.cid").as("code"))
+      val subs = pqSubvectors(emb(s, dir))
+      val best = pqCodes(subs, pqCodebook(subs))
       best.groupBy("vec_id")
         .agg(max(when(col("m") === 0, col("code"))).as("c0"),
           max(when(col("m") === 1, col("code"))).as("c1"),
@@ -360,5 +376,75 @@ object SimilarityOps {
       GROUP BY vec_id
       ORDER BY vec_id"""))
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  // ---------------------------------------------------------------- s08
+  /** The full disk-scale ANN pipeline — IVF routing + PQ asymmetric
+    * distance + exact re-rank — composing s03's coarse quantizer with
+    * s07's codebook the way a production index serves queries:
+    *
+    *   1. route: each query probes its 2 nearest coarse cells, so only
+    *      ~2/k of the corpus is candidate (the IVF win);
+    *   2. score approximately: per query, ONE 160-row ADC table
+    *      (M×k distances of its subvectors to the codebook) is
+    *      broadcast and joined against candidates' 4 int codes — the
+    *      candidates' float vectors are never touched (the PQ win:
+    *      at 100 TB this stage reads 16 bytes/vector, not 256);
+    *   3. shortlist the 64 best by approximate distance, then re-rank
+    *      those exactly against the full vectors and keep top-5 —
+    *      re-rank cost is per-query-constant, not corpus-sized. (The
+    *      64-deep shortlist is what absorbs the seed codebook's ADC
+    *      ranking error: 32 left clustered recall at the 0.8 floor,
+    *      64 recovers 1.00 — ApproxAndIvfSpec.)
+    *
+    * Approximate by construction (IVF recall × PQ ranking error) → no
+    * SQL oracle; recall vs the s01 exact baseline is asserted on the
+    * clustered fixture in ApproxAndIvfSpec. Fully deterministic: seeded
+    * sample centroids, seed codebook, id tie-breaks everywhere. */
+  val s08 = Q("s08_ann_ivfpq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val centroids = ivfCentroids(e)
+      val assigned = e.withColumn("cell", nearestCellExpr(centroids, "v"))
+      val subs = pqSubvectors(e)
+      val codebook = pqCodebook(subs)
+      val codes = pqCodes(subs, codebook)
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      val probes = q.withColumn("cell2", secondCellExpr(centroids, "qv"))
+        .select(col("query_id"),
+          explode(array(col("cell"), col("cell2"))).as("cell"))
+      // per-query ADC table: distance of each query subvector to each
+      // codebook centroid — #queries × M × k rows, broadcast
+      val qsubs = q.select(col("query_id"), col("qv").as("v"))
+        .withColumnRenamed("query_id", "vec_id")
+      val adcTable = pqSubvectors(qsubs).join(broadcast(codebook), "m")
+        .withColumn("qd", expr(
+          "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+            "0D, (acc, z) -> acc + z)"))
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("cid").as("code"), col("qd"))
+      val cand = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val adc = cand.join(codes, "vec_id")
+        .join(broadcast(adcTable), Seq("query_id", "m", "code"))
+        .groupBy("query_id", "vec_id").agg(sum("qd").as("adist"))
+      val ws = Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id"))
+      val shortlist = adc.withColumn("srn", row_number().over(ws))
+        .filter(col("srn") <= 64).select("query_id", "vec_id")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      shortlist
+        .join(e.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rn")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

@@ -100,4 +100,20 @@ class ApproxAndIvfSpec extends AnyFunSuite {
     info(f"s03 clustered-corpus recall@5 = $r%.2f")
     assert(r >= 0.8, s"IVF clustered recall $r")
   }
+
+  test("IVF-PQ with exact re-rank keeps clustered recall above 0.8") {
+    // the composed pipeline (route → ADC shortlist → exact re-rank) must
+    // not lose recall to PQ ranking error: the 64-deep shortlist gives
+    // the exact re-rank room to recover ADC misorderings (32 measured
+    // exactly at the 0.8 floor on this fixture)
+    val r = recallVsBrute("s08_ann_ivfpq")
+    info(f"s08 clustered-corpus recall@5 = $r%.2f")
+    assert(r >= 0.8, s"IVF-PQ clustered recall $r")
+
+    // and on the uniform corpus it returns 5 valid ranked neighbors
+    val got = Queries.byName("s08_ann_ivfpq").build(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.keySet == (0L until 5L).toSet)
+    got.foreach { case (q, ns) => assert(ns.size == 5 && !ns.contains(q)) }
+  }
 }
