@@ -120,7 +120,7 @@ object DedupOps {
       .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
     // (AQE can split the partitions but not shrink the pair volume). Docs
@@ -153,7 +153,7 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // same once-materialization as `bands`: the hashed word sets feed
     // both verify sides and the hot-doc fallback kernel
-    val sets = hashedWordSets(s, dir).localCheckpoint()
+    val sets = hashedWordSets(s, dir).localCheckpoint(eager = false)
     // exact verify on candidates only, over sorted-long word sets; hot
     // docs' mutual pairs come from the exact kernel (disjoint from the
     // cold set by the both-hot filter above, so a plain union)
@@ -349,15 +349,21 @@ object DedupOps {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
-    // convergence check: labels are per-node non-increasing, so the label
-    // SUM is strictly decreasing while anything changes — comparing two
-    // 1-row aggregates replaces a full next⋈prev join + count per round.
-    // decimal(38,0) keeps the sum exact far beyond any realistic node-id
-    // range (a wrap would need ~10^38 total label mass).
+    // convergence check: labels are per-node non-increasing, so for
+    // NUMERIC node ids the label SUM is strictly decreasing while
+    // anything changes — comparing two 1-row aggregates replaces a full
+    // next⋈prev join + count per round. decimal(38,0) keeps the sum
+    // exact far beyond any realistic node-id range. Non-numeric ids
+    // (string keys are legal: min/least order them lexicographically)
+    // would cast to NULL and every round would sum to 0 — a silent
+    // one-round false convergence — so they keep the type-agnostic
+    // join-count check instead.
+    val numericIds = labels.schema("component").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var changed = true
     var round = 0
     val budget = math.min(maxRounds, crossoverAfter)
@@ -368,9 +374,15 @@ object DedupOps {
       val next = labels.select("node", "component").union(fromNbr)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
+      } else {
+        changed = next
+          .join(labels.withColumnRenamed("component", "prev"), "node")
+          .filter(col("component") =!= col("prev")).count() > 0
+      }
       labels = next
       round += 1
     }
@@ -678,7 +690,7 @@ object DedupOps {
       threshold: Double = 0.9): DataFrame = {
     // the hashed-set frame feeds four consumers (prefix build, posting
     // list, both verify sides) — materialize once, d02/CC discipline
-    val sets = hashedWordSets(s, dir).localCheckpoint()
+    val sets = hashedWordSets(s, dir).localCheckpoint(eager = false)
     val cand = containmentCandidatesOn(sets, threshold)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),

@@ -392,7 +392,7 @@ object EventOps {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
             .as("hour_s"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val stats = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
           sum(col("n") * col("n")).as("s2"))

@@ -72,7 +72,7 @@ object GraphOps {
     // input twice (degree agg + join) — without this each of the ~4
     // consumers re-runs whatever pipeline produced the edges (for g01:
     // the whole near-dup pair kernel; measured 150 s → ~8 s at sf0.1)
-    val o = degreeOriented(edges.localCheckpoint()).localCheckpoint()
+    val o = degreeOriented(edges.localCheckpoint(eager = false)).localCheckpoint(eager = false)
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
     val wedges = o.alias("x")

@@ -184,6 +184,11 @@ object MultimodalOps {
     df.select(col("doc_id"),
         pmod(col("doc_id"), lit(nShards)).as("shard"),
         col("modality"))
+      // rows whose modality is NOT in `modalities` are excluded up front:
+      // array_position returns 0 for a missing element, so without this
+      // filter they would get m_idx = -1 and silently collide with (or
+      // precede) the first listed modality's interleave slots
+      .filter(col("modality").isin(modalities.map(m => m: Any): _*))
       .withColumn("m_idx",
         array_position(array(modalities.map(lit): _*), col("modality")) - 1)
       .withColumn("rk", row_number().over(w))

@@ -403,10 +403,16 @@ object SimilarityOps {
     (s, dir) => {
       val e = emb(s, dir)
       val centroids = ivfCentroids(e)
+      // index-build stages materialized once (lazily): `assigned` feeds
+      // the query side and the candidate join, `codes` the ADC join — in
+      // production both are the precomputed on-disk index, and without
+      // the checkpoint each consumer would re-run the scan + 8-centroid
+      // (resp. codebook) distance pipeline
       val assigned = e.withColumn("cell", nearestCellExpr(centroids, "v"))
+        .localCheckpoint(eager = false)
       val subs = pqSubvectors(e)
       val codebook = pqCodebook(subs)
-      val codes = pqCodes(subs, codebook)
+      val codes = pqCodes(subs, codebook).localCheckpoint(eager = false)
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
       val probes = q.withColumn("cell2", secondCellExpr(centroids, "qv"))

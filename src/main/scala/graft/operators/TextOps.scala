@@ -595,12 +595,21 @@ object TextOps {
   val t16 = Q("t16_repetition_filter",
     (s, dir) => {
       val d = docs(s, dir).withColumn("w", tokensExpr)
-      def gramRows(n: Int) = d
-        .filter(size(col("w")) >= n)
-        .select(col("doc_id"), lit(n).as("k"),
-          explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("gram"))
-      val counts = gramRows(2).unionAll(gramRows(3))
+      // BOTH gram orders from one tokenized projection — the unionAll of
+      // two gramRows branches scanned + tokenized the corpus twice. The
+      // 3-gram positions are a filter over the (always non-empty, since
+      // size ≥ 2 here) 2-gram sequence rather than sequence(1, size-2),
+      // because Spark's sequence(1, 0) is DESCENDING [1, 0], not empty.
+      val counts = d
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "concat(" +
+            "transform(sequence(1, size(w) - 1), " +
+            "  i -> struct(2 as k, concat_ws(' ', slice(w, i, 2)) as gram)), " +
+            "transform(filter(sequence(1, size(w) - 1), i -> i <= size(w) - 2), " +
+            "  i -> struct(3 as k, concat_ws(' ', slice(w, i, 3)) as gram)))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.k").as("k"), col("g.gram").as("gram"))
         .groupBy("doc_id", "k", "gram").agg(count(lit(1)).as("c"))
       val stats = counts.groupBy("doc_id").agg(
         sum(when(col("k") === 2, col("c"))).as("tot2"),
@@ -676,7 +685,7 @@ object TextOps {
       // vocabulary-bounded; materialized once so the corpus-tokenize +
       // count pipeline behind it runs once for its two consumers (the
       // scoring join and the 1-row total)
-      val lm = tok.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+      val lm = tok.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint(eager = false)
       val total = lm.agg(sum("c").as("total"))
       tok.join(lm, "w")
         .crossJoin(broadcast(total))

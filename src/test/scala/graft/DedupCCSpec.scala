@@ -31,6 +31,18 @@ class DedupCCSpec extends AnyFunSuite {
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
   }
 
+  test("connectedComponents is correct for string node ids") {
+    // string labels cast to NULL under the numeric label-sum shortcut —
+    // the type check must route them to the join-count convergence path,
+    // not silently declare convergence after one round
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val got = DedupOps.connectedComponents(chain).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("alt-star labels equal propagation labels on a multi-component graph") {
     val rnd = new scala.util.Random(11)
     // several blobs + a chain + isolated pair, shuffled ids

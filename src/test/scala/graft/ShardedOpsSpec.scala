@@ -83,6 +83,20 @@ class ShardedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modalityInterleave: rows with unlisted modalities are excluded, not corrupted") {
+    import spark.implicits._
+    val mods = Seq("text", "image", "audio")
+    val base = (0L until 30L).map(i => (i, mods((i % 3).toInt)))
+    val withVideo = base ++ Seq((100L, "video"), (101L, "video"))
+    val clean = operators.MultimodalOps
+      .modalityInterleave(base.toDF("doc_id", "modality"), mods, 2, 6)
+    val mixed = operators.MultimodalOps
+      .modalityInterleave(withVideo.toDF("doc_id", "modality"), mods, 2, 6)
+    // the unlisted rows must change NOTHING: without the filter they got
+    // m_idx = -1 and collided with text's interleave slots
+    assert(sortedRows(mixed, "shard", "batch") == sortedRows(clean, "shard", "batch"))
+  }
+
   test("modalityInterleave: full batches are balanced across modalities") {
     import spark.implicits._
     val mods = Seq("text", "image", "audio")
