@@ -769,5 +769,85 @@ object DedupOps {
               (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) >= 0.9
       ORDER BY doc_new, doc_old"""))
 
-  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  // ---------------------------------------------------------------- d11
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): assign every
+    * embedding to its nearest of k seed centroids, then prune, WITHIN each
+    * cluster only, any vector whose cosine to a smaller-id cluster-mate
+    * reaches the threshold. The clustering is what makes embedding dedup
+    * scale: the quadratic compare runs per cluster (Σ|c|² work, bounded by
+    * k chosen ~√n), never across the corpus, and d05's exact all-pairs
+    * remains the small-scope ground truth.
+    *
+    * Output: one row per REMOVED vector with its cluster, the kept
+    * representative (`dup_of` = smallest qualifying cluster-mate) and their
+    * cosine. Keepers = everything absent from this list.
+    *
+    * Scale shape: centroid assignment is a broadcast of k rows against the
+    * scan (argmax per vector, ties to the smaller centroid id — the s06
+    * convention); the pair stage shuffles once on cluster id; the keep/drop
+    * rule is a per-vector window bounded by cluster size. All cosines are
+    * raw IEEE doubles accumulated in identical order in both engines, so
+    * the threshold cut is bit-sharp (s06 discipline). Threshold 0.35 plays
+    * the role 0.95 plays on real embeddings — this synthetic corpus has no
+    * planted near-identical vectors (max pairwise cosine ≈ 0.51). */
+  private[graft] def semanticDedup(e: DataFrame, seedCount: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c0 = e.filter(col("vec_id") < seedCount)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(c0))
+      .withColumn("cos", cosine_similarity(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .withColumn("pcos", cosine_similarity(col("xa"), col("xb")))
+      .filter(col("pcos") >= threshold)
+    val wKeep = Window.partitionBy("vb").orderBy(col("va"))
+    pairs.withColumn("rn", row_number().over(wKeep))
+      .filter(col("rn") === 1)
+      .select(col("vb").as("vec_id"), col("cid").as("cluster_id"),
+        col("va").as("dup_of"), round(col("pcos"), 4).as("cosine"))
+  }
+
+  val d11 = Q("d11_semantic_dedup",
+    (s, dir) => {
+      val e = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      semanticDedup(e, seedCount = 8, threshold = 0.35).orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM e CROSS JOIN c0 c),
+      assigned AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+      pairs AS (
+        SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+               list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS pcos
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      hits AS (SELECT * FROM pairs WHERE pcos >= 0.35),
+      kept AS (SELECT * FROM (
+        SELECT vb, cid, va, pcos,
+               row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+        FROM hits) WHERE rn = 1)
+      SELECT vb AS vec_id, cid AS cluster_id, va AS dup_of,
+             round(pcos, 4) AS cosine
+      FROM kept
+      ORDER BY vec_id"""))
+
+  val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11)
 }

@@ -151,5 +151,88 @@ object MergeOps {
       FROM iv
       ORDER BY o_custkey, version"""))
 
-  val queries: Seq[Q] = Seq(q35, q42)
+  /** Row-level diff of two same-schema snapshots on a unique key: which
+    * rows were `added`, `removed`, or `changed` (any non-key column
+    * differs) between versions. Unchanged rows are dropped — the diff of
+    * a 100 TB snapshot pair is sized by the churn, not the corpus. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"schema mismatch: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val valueCols = oldDf.columns.filterNot(_ == key).toSeq
+    // presence flags, not key-null tests (the q35 upsert lesson): a row
+    // with a NULL key must read as present-on-its-side, not as a miss
+    val o = oldDf.withColumn("__in_old", lit(true)).alias("o")
+    val n = newDf.withColumn("__in_new", lit(true)).alias("n")
+    val changed = valueCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("diff",
+        when(col("o.__in_old").isNull, lit("added"))
+          .when(col("n.__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("diff").isNotNull)
+      .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key) +:
+        col("diff") +:
+        valueCols.flatMap(c => Seq(col(s"o.$c").as(s"old_$c"),
+          col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Snapshot diff — the audit view of dataset versioning, completing the
+    * CDC family (q35 applies changes, q42 keeps history, q43 answers
+    * "what changed between v1 and v2"). Fixture: v1 drops every 7th
+    * order, v2 drops every 5th and reprices every 3rd (+10%, in exact
+    * decimal — the q35 discipline), so all three diff classes appear.
+    *
+    * Scale shape: ONE full-outer hash join on the key — both snapshots
+    * shuffle once (bucketed snapshots co-locate and skip even that),
+    * the change predicate is expression-space, and output is churn-sized.
+    * The summary roll-up is a 3-key partial agg. */
+  val q43 = Q("q43_snapshot_diff",
+    (s, dir) => {
+      val orders = Tables.df(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val v2 = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")), 2)
+              .cast("double"))
+            .otherwise(col("o_totalprice")))
+      snapshotDiff(v1, v2, "o_orderkey")
+        .groupBy("diff")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0))), 2).as("net_value"))
+        .orderBy("diff")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                              AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      d AS (
+        SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                      OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                    THEN 'changed' END AS diff,
+               v1.o_totalprice AS old_p, v2.o_totalprice AS new_p
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      SELECT diff, count(*) AS n,
+             round(sum(coalesce(new_p, 0) - coalesce(old_p, 0)), 2) AS net_value
+      FROM d
+      WHERE diff IS NOT NULL
+      GROUP BY diff
+      ORDER BY diff"""))
+
+  val queries: Seq[Q] = Seq(q35, q42, q43)
 }

@@ -775,6 +775,48 @@ object TextOps {
       GROUP BY d.source, r.p_keep
       ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- t19
+  /** Deterministic epoch shuffle — the per-epoch global reorder of a
+    * training corpus, reproducible from a seed string alone: every doc
+    * gets the position `row_number` over `md5(seed:doc_id)` within the
+    * shard that hash assigns. Same seed → identical order on any cluster
+    * size, any engine; a new epoch is just a new seed.
+    *
+    * Scale shape: no global sort. The md5 key is uniform, so the shard
+    * assignment is balanced by construction and the position window is
+    * PARTITIONED BY shard — each shard orders independently (the t09→t14
+    * lesson baked in from the start). At 100 TB this is one
+    * repartition-by-shard + per-shard sort, exactly the shape a
+    * `partitionBy(shard)` training-data write wants. */
+  private[graft] def epochShuffle(ids: DataFrame, seed: String,
+      nShards: Int): DataFrame = {
+    val keyed = ids
+      .withColumn("k", md5(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 8), 16, 10).cast("long"), lit(nShards)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val t19 = Q("t19_epoch_shuffle",
+    (s, dir) => epochShuffle(docs(s, dir).select("doc_id"), "epoch1", 8)
+      .orderBy("shard", "pos"),
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents),
+      sharded AS (
+        SELECT doc_id, k,
+               CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS BIGINT)
+                 AS shard
+        FROM keyed)
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      FROM sharded
+      ORDER BY shard, pos"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{DedupOps, MergeOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Late round-5 operators on constructed data: semantic dedup (d11),
+  * snapshot diff (q43), and the deterministic epoch shuffle (t19). */
+class VersioningAndShuffleSpec extends AnyFunSuite {
+
+  lazy val spark = Session.builder("graft-test").master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+  import spark.implicits._
+
+  // ------------------------------------------------------------- d11
+  /** Hand-computed 2-d fixture. Seeds (ids < 2) are corpus members too,
+    * mirroring the catalog query. With τ = 0.9:
+    *   cluster 0 = {0, 10, 11, 13}: cos(10,11) ≈ 0.9992 and
+    *   cos(10,13) ≈ 0.964 → 11 and 13 removed, both dup_of 10
+    *   (13's dup_of is the SMALLEST qualifying mate, 10 not 11);
+    *   cluster 1 = {1, 14}: cos(1,14) ≈ 0.743 → kept.
+    * 13/14 are the clustering trade-off pinned on purpose: cos(13,14)
+    * ≈ 0.995 but they straddle the cluster boundary, so SemDeDup does
+    * NOT prune 14 — the recall cost bought by the per-cluster bound. */
+  test("semanticDedup prunes within clusters only, dup_of = smallest mate") {
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (10L, Seq(1.0, 0.5)),
+      (11L, Seq(0.95, 0.52)),
+      (13L, Seq(1.0, 0.9)),
+      (14L, Seq(0.9, 1.0))
+    ).toDF("vec_id", "v")
+    val got = DedupOps.semanticDedup(e, seedCount = 2, threshold = 0.9)
+      .select("vec_id", "cluster_id", "dup_of")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((11L, 0L, 10L), (13L, 0L, 10L)))
+  }
+
+  // ------------------------------------------------------------- q43
+  test("snapshotDiff classifies added/removed/changed, null-safe on values") {
+    val old = Seq(
+      (1L, "A", Some(10.0)), // removed
+      (2L, "B", Some(20.0)), // unchanged → dropped from the diff
+      (3L, "C", Some(30.0)), // changed (price)
+      (4L, "D", None) // changed (NULL → value must count as a change)
+    ).toDF("k", "status", "price")
+    val nw = Seq(
+      (2L, "B", Some(20.0)),
+      (3L, "C", Some(35.0)),
+      (4L, "D", Some(40.0)),
+      (5L, "E", Some(50.0)) // added
+    ).toDF("k", "status", "price")
+    val got = MergeOps.snapshotDiff(old, nw, "k")
+      .select("k", "diff").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (3L, "changed"),
+      (4L, "changed"), (5L, "added")))
+
+    val bad = nw.withColumnRenamed("price", "amount")
+    assertThrows[IllegalArgumentException](MergeOps.snapshotDiff(old, bad, "k"))
+  }
+
+  // ------------------------------------------------------------- t19
+  test("epochShuffle is seed-deterministic with dense per-shard positions") {
+    val ids = (1L to 100L).toDF("doc_id")
+    val a = TextOps.epochShuffle(ids, "e1", 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = TextOps.epochShuffle(ids, "e1", 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b, "same seed must reproduce the identical shuffle")
+    assert(a.map(_._1).toSet == (1L to 100L).toSet, "a permutation, not a sample")
+    // positions are dense 1..|shard| within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    val c = TextOps.epochShuffle(ids, "e2", 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a != c, "a new seed must produce a different epoch order")
+  }
+}
