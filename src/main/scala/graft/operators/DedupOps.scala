@@ -796,11 +796,15 @@ object DedupOps {
     val c0 = e.filter(col("vec_id") < seedCount)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    // materialized once (lazy checkpoint): the assignment feeds BOTH
+    // sides of the pair self-join, which would otherwise re-run the
+    // broadcast-score-and-rank pipeline per side
     val assigned = e.crossJoin(broadcast(c0))
       .withColumn("cos", cosine_similarity(col("v"), col("cv")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
+      .localCheckpoint(eager = false)
     val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
     val pairs = a.join(b, Seq("cid"))
