@@ -60,6 +60,27 @@ class VersioningAndShuffleSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MergeOps.snapshotDiff(old, bad, "k"))
   }
 
+  /** The CDC family composes: applying a diff to the old snapshot —
+    * upsert the added+changed rows, anti-join away the removed keys —
+    * reconstructs the new snapshot exactly. Randomized so the property
+    * holds beyond the hand-picked cases. */
+  test("snapshotDiff composed with upsert reconstructs the new snapshot") {
+    val rnd = new scala.util.Random(11)
+    val old = (1L to 60L).filter(_ => rnd.nextDouble() < 0.8)
+      .map(k => (k, s"s${k % 3}", rnd.nextInt(100).toDouble)).toDF("k", "st", "p")
+    val nw = (1L to 60L).filter(_ => rnd.nextDouble() < 0.8)
+      .map(k => (k, s"s${k % 3}",
+        if (k % 4 == 0) rnd.nextInt(100) + 1000.0 else k.toDouble)).toDF("k", "st", "p")
+    val d = MergeOps.snapshotDiff(old, nw, "k").localCheckpoint()
+    val ups = d.filter(col("diff").isin("added", "changed"))
+      .select(col("k"), col("new_st").as("st"), col("new_p").as("p"))
+    val dels = d.filter(col("diff") === "removed").select("k")
+    val rebuilt = MergeOps.upsert(old, ups, "k")
+      .join(dels, Seq("k"), "left_anti")
+    assert(rebuilt.as[(Long, String, Double)].collect().sorted.toSeq ==
+      nw.as[(Long, String, Double)].collect().sorted.toSeq)
+  }
+
   // ------------------------------------------------------------- t19
   test("epochShuffle is seed-deterministic with dense per-shard positions") {
     val ids = (1L to 100L).toDF("doc_id")
