@@ -438,6 +438,96 @@ object EventOps {
         AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) >= 2.0
       ORDER BY event_type, hour_s"""))
 
+  // ---------------------------------------------------------------- e12
+  /** Multi-touch attribution: credit each purchase to the user's FIRST
+    * and LAST non-purchase touchpoint at-or-before it, then roll revenue
+    * up by (first_touch, last_touch) — both classic attribution models
+    * from one pass. Purchases with no prior touch credit 'direct'.
+    *
+    * Scale shape: ONE window shuffle partitioned by user (running
+    * ignore-nulls first/last over the per-user timeline — bounded by a
+    * user's event count, embarrassingly parallel across users), then a
+    * #types² partial agg. Ties at equal micros break by event_id in
+    * both engines. */
+  val e12 = Q("e12_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      ev(s, dir)
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("ft"), lit("direct")).as("first_touch"),
+          coalesce(col("lt"), lit("direct")).as("last_touch"), col("value"))
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("revenue"))
+        .orderBy("first_touch", "last_touch")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value
+        FROM events),
+      t AS (
+        SELECT event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                 OVER w AS ft,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER w AS lt
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT coalesce(ft, 'direct') AS first_touch,
+             coalesce(lt, 'direct') AS last_touch,
+             count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      FROM t
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- e13
+  /** Rolling 7-day distinct active users per day — the sliding-distinct
+    * aggregate that is notoriously expensive at scale because DISTINCT
+    * does not decompose across overlapping windows.
+    *
+    * Scale shape, no range join and no per-window re-scan: dedup to
+    * (day, user) once (key space = days × active users, combiner-
+    * friendly), EXPLODE each such row into the ≤7 window-end days it
+    * contributes to (a constant ×7 map-side expansion — sequence +
+    * explode in expression space), and count distinct users per end
+    * day. The trailing semi-join against observed days just drops
+    * phantom window-ends past the data's horizon (broadcast, #days
+    * rows). Every shuffle is keyed by day; nothing is quadratic. */
+  val e13 = Q("e13_rolling_active",
+    (s, dir) => {
+      val du = ev(s, dir)
+        .select(to_date(col("ts")).as("eday"), col("user_id"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds the explode AND the day list
+      val days = du.select(col("eday").as("day")).distinct()
+      du.select(explode(expr("sequence(eday, date_add(eday, 6))")).as("day"),
+          col("user_id"))
+        .join(broadcast(days), Seq("day"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("active_users_7d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("active_users_7d"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS eday, user_id FROM events),
+      days AS (SELECT DISTINCT eday AS day FROM du)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             count(DISTINCT u.user_id) AS active_users_7d
+      FROM days d JOIN du u ON u.eday BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+      ORDER BY day"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11)
+    e11, e12, e13)
 }

@@ -38,4 +38,43 @@ class EventOpsSpec extends AnyFunSuite {
     val viaSql = Queries.byName("e02_sessionize").build(spark, d)
     assert(viaSql.collect().length == 3) // same 3 sessions
   }
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("e12 attribution: first/last touch per purchase, direct when untouched") {
+    val base = 1704067200L * 1000000000L
+    def ns(sec: Long): Long = base + sec * 1000000000L
+    val d = eventsDir(Seq(
+      (1L, ns(0), 1L, "view", 0.0, "{}"),
+      (2L, ns(10), 1L, "click", 0.0, "{}"),
+      (3L, ns(20), 1L, "purchase", 10.0, "{}"), // view → … → click
+      (4L, ns(30), 1L, "click", 0.0, "{}"),
+      (5L, ns(40), 1L, "purchase", 5.0, "{}"), // first stays view
+      (6L, ns(0), 2L, "purchase", 7.0, "{}"))) // no touch → direct
+    val got = Queries.byName("e12_attribution").build(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("direct", "direct", 1L, 7.0), ("view", "click", 2L, 15.0)))
+  }
+
+  test("e13 rolling 7-day actives: windows span exactly [day-6, day]") {
+    val dayNs = 86400L * 1000000000L
+    val base = 1704067200L * 1000000000L // 2024-01-01
+    val d = eventsDir(Seq(
+      (1L, base, 1L, "click", 0.0, "{}"), // day 1: u1
+      (2L, base + 2 * dayNs, 1L, "click", 0.0, "{}"), // day 3: u1
+      (3L, base + 2 * dayNs, 2L, "click", 0.0, "{}"), // day 3: u2
+      (4L, base + 8 * dayNs, 3L, "click", 0.0, "{}"))) // day 9: u3
+    val got = Queries.byName("e13_rolling_active").build(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // day 9's window reaches back to day 3 (inclusive) → sees u1, u2, u3;
+    // day 1 (from day 3's perspective) is inside [day3-6, day3] too
+    assert(got == Seq(("2024-01-01", 1L), ("2024-01-03", 2L), ("2024-01-09", 3L)))
+  }
 }
