@@ -271,5 +271,82 @@ object GraphOps {
       FROM r2
       ORDER BY rank DESC, page"""))
 
-  val queries: Seq[Q] = Seq(g01, g02, g03)
+  // ---------------------------------------------------------------- g04
+  /** Synchronous label propagation (Raghavan et al. 2007): every node
+    * adopts the most frequent label among its neighbors each round, ties
+    * to the smallest label; labels start as node ids. Community detection
+    * where connected components are too coarse — on a similarity graph
+    * with a LOWER threshold than dedup, LPA splits a weakly-bridged blob
+    * into its dense cores while CC would glue it into one component.
+    *
+    * A fixed iteration count (not convergence) keeps the result exactly
+    * reproducible — full LPA is order-sensitive and can oscillate; the
+    * synchronous fixed-round variant is deterministic, so the DuckDB
+    * oracle can replay it round for round. A node's own label does not
+    * vote (pure neighbor majority).
+    *
+    * Scale shape per round: one edge⋈label equi-join shuffled by node,
+    * one (node, label) partial count, and a per-node argmax that
+    * compiles to WindowGroupLimit — everything keyed by node, lineage
+    * cut per round (the d06/g02 discipline). */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = canonical(edges)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      labels = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  val g04 = Q("g04_lpa_communities",
+    (s, dir) =>
+      labelPropagation(
+        DedupOps.prefixFilterPairs(s, dir, 0.7).select("doc_a", "doc_b"),
+        iterations = 2)
+        .select(col("node").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      e AS (SELECT a AS src, b AS dst FROM p
+            UNION ALL SELECT b, a FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+      c1 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+             FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY cnt DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT e.src AS node, l.label, count(*) AS cnt
+             FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY cnt DESC, label) AS rn
+               FROM c2) WHERE rn = 1)
+      SELECT node AS doc_id, label AS community
+      FROM l2
+      ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(g01, g02, g03, g04)
 }

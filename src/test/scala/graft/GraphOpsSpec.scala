@@ -86,4 +86,23 @@ class GraphOpsSpec extends AnyFunSuite {
       .filter(col("x.dst") < col("y.dst")).count()
     assert(orientedWedges == 0L)
   }
+
+  test("LPA splits bridged cliques that connected components would merge") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two 4-cliques joined by the single bridge 4–10: one CC, two
+    // communities. Hand-run of 2 synchronous rounds (own label doesn't
+    // vote, ties to min): round 1 sends every A-node to label 1-or-2 and
+    // B to 4-or-10; round 2 settles A on 1 and B on 10.
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    val cc = graft.operators.DedupOps.connectedComponents(edges)
+      .select("component").distinct().count()
+    assert(cc == 1L, "CC merges what LPA separates")
+  }
 }
