@@ -37,6 +37,40 @@ class VersioningAndShuffleSpec extends AnyFunSuite {
     assert(got == Set((11L, 0L, 10L), (13L, 0L, 10L)))
   }
 
+  /** Randomized equivalence against an independent driver-side replay of
+    * the SemDeDup rule (same argmax-assign / in-cluster-threshold / keep-
+    * smallest semantics computed in plain Scala): the distributed plan
+    * and the sequential reference must pick the identical removal set. */
+  test("semanticDedup matches a driver-side reference on random vectors") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val dims = 8
+    val vecs = (0 until n).map(i => i.toLong -> Vector.fill(dims)(rnd.nextGaussian()))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val seeds = vecs.take(4)
+    val assign = vecs.map { case (id, v) =>
+      id -> seeds.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }.toMap
+    val expected = (for {
+      (vb, xb) <- vecs
+      va = vecs.filter { case (a, xa) =>
+        a < vb && assign(a) == assign(vb) && cos(xa, xb) >= 0.5
+      }.map(_._1).sorted.headOption
+      a <- va
+    } yield (vb, assign(vb), a)).toSet
+
+    val e = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    val got = DedupOps.semanticDedup(e, seedCount = 4, threshold = 0.5)
+      .select("vec_id", "cluster_id", "dup_of")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   // ------------------------------------------------------------- q43
   test("snapshotDiff classifies added/removed/changed, null-safe on values") {
     val old = Seq(
