@@ -53,6 +53,25 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"))
 
+  /** EXACT distinct active users per tumbling day, streaming — the
+    * incremental twin of the e13 presence dedup. COUNT(DISTINCT) does
+    * not exist as a streaming aggregate; the exact pattern is two
+    * chained stateful operators (Spark 3.4+ multi-stateful, append
+    * mode): windowed dropDuplicates first — state bounded by
+    * (days inside the watermark) × active users, evicted as the
+    * watermark passes each window — then a plain count over the
+    * dedup'd presence rows. A window only emits once the watermark
+    * closes it, so each day's count is final on arrival. */
+  def dailyDistinctActives(events: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("w.start").as("day_start"), col("active_users"))
+
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
     * whenever a gap closes it; the open session stays in state. */

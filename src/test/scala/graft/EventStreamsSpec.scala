@@ -48,6 +48,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size == 3) // hours 0, 1, 2
   }
 
+  test("streaming daily distinct actives equal the batch dedup count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val events = Seq(
+      Event(1, dayTs(1, 10), 1, "click", 1.0),
+      Event(2, dayTs(1, 50), 1, "view", 1.0), // same user+day → 1 presence
+      Event(3, dayTs(1, 70), 2, "click", 1.0),
+      Event(4, dayTs(2, 10), 1, "click", 1.0), // new day → counts again
+      Event(5, dayTs(2, 20), 3, "click", 1.0))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+    val q = EventStreams.dailyDistinctActives(stream.toDF(), "1 day")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("daily_actives").start()
+    q.processAllAvailable()
+    // append mode flushes a window only once the watermark passes it:
+    // a far-future sentinel closes days 1 and 2
+    stream.addData(Event(99, dayTs(30, 0), 9, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("daily_actives")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val want = events.toDF()
+      .select(window(col("ts"), "1 day").as("w"), col("user_id")).distinct()
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == want) // {day1 → 2, day2 → 2}; sentinel day never flushed
+    assert(got.map(_._2) == Set(2L))
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
