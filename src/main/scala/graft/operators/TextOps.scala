@@ -817,6 +817,73 @@ object TextOps {
       FROM sharded
       ORDER BY shard, pos"""))
 
+  // ---------------------------------------------------------------- t20
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)
+    * for a fixed query-term set — the SPARSE half of a retrieval stack
+    * next to the dense ANN family (s01-s03, s08). Top-10 docs by
+    * summed per-term score, IDF in the ln(1 + (N−df+0.5)/(df+0.5)) form
+    * that keeps scores positive.
+    *
+    * Scale shape: ONE corpus pass — dl and each query term's tf are
+    * scan-local array expressions (no token explode for a fixed query:
+    * the work is |query| array scans per doc, not |doc| shuffle rows);
+    * the per-doc frame feeds the stats aggregate, the 3-row df count,
+    * and the score join (once-materialized). N/avgdl and df broadcast;
+    * the only data-sized shuffles are the per-doc score sum and the
+    * rounded TakeOrdered top-k. */
+  val t20 = Q("t20_bm25",
+    (s, dir) => {
+      val qterms = Seq("join", "window", "stream")
+      val base = docs(s, dir)
+        .withColumn("toks", tokensExpr)
+        .select(col("doc_id") +:
+          size(col("toks")).cast("double").as("dl") +:
+          qterms.map(t =>
+            size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf_$t")): _*)
+        .localCheckpoint(eager = false)
+      val hits = base.select(col("doc_id"), col("dl"),
+          explode(array(qterms.map(t =>
+            struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("x"))
+        .select(col("doc_id"), col("dl"), col("x.term").as("term"), col("x.tf").as("tf"))
+        .filter(col("tf") > 0)
+      val dfreq = hits.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val st = base.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      hits.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(st))
+        .withColumn("s",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("s"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS DOUBLE) AS dl,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, dl, term,
+               CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM base, (SELECT unnest(['join', 'window', 'stream']) AS term) q),
+      hits AS (SELECT * FROM tf WHERE tf > 0),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY term),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+      sc AS (
+        SELECT h.doc_id,
+               ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+                 (h.tf * 2.2) /
+                 (h.tf + 1.2 * (0.25 + 0.75 * h.dl / st.avgdl)) AS s
+        FROM hits h JOIN df USING (term), st)
+      SELECT doc_id, round(sum(s), 4) AS bm25
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 10"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }

@@ -115,6 +115,44 @@ class VersioningAndShuffleSpec extends AnyFunSuite {
       nw.as[(Long, String, Double)].collect().sorted.toSeq)
   }
 
+  // ------------------------------------------------------------- t20
+  /** BM25 against an independent sequential replay of the same formula
+    * (k1 = 1.2, b = 0.75, positive-idf form) on a 4-doc fixture — ranking
+    * and rounded scores must both match. */
+  test("t20 BM25 matches a driver-side formula replay on a fixture corpus") {
+    val corpus = Seq(
+      (0L, "join join window foo bar"),
+      (1L, "stream baz qux quux corge"),
+      (2L, "foo bar baz qux corge grault"),
+      (3L, "join window stream join window stream"))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val dl = corpus.map { case (id, t) => id -> toks(t).size.toDouble }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = dl.values.sum / n
+    val q = Seq("join", "window", "stream")
+    val dfq = q.map(t => t -> corpus.count { case (_, txt) => toks(txt).contains(t) }.toDouble).toMap
+    val expected = corpus.flatMap { case (id, txt) =>
+      val s = q.map { term =>
+        val tf = toks(txt).count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - dfq(term) + 0.5) / (dfq(term) + 0.5) + 1) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sum
+      if (s == 0.0) None
+      else Some(id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }
+
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    corpus.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Queries.byName("t20_bm25").build(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.head._1 == 3L, "the doc with every query term twice ranks first")
+  }
+
   // ------------------------------------------------------------- t19
   test("epochShuffle is seed-deterministic with dense per-shard positions") {
     val ids = (1L to 100L).toDF("doc_id")
