@@ -452,5 +452,118 @@ object SimilarityOps {
     },
     None)
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  // ---------------------------------------------------------------- s09
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    * k = 60) of a DENSE ranking (cosine of every embedding to the query
+    * vector, vec_id 0) and a SPARSE ranking (the t20 BM25 scores for the
+    * fixed keyword query) — the composition proof for the retrieval
+    * family the way p01 is for curation. Embeddings and documents share
+    * the 0..N id space here, standing in for a corpus with an embedding
+    * per document.
+    *
+    * RRF fuses RANKS, not scores, so the fusion layer is immune to the
+    * two scorers' scales; ranks are integers, 1/(60+r) is identical
+    * IEEE arithmetic in both engines, and the rounded fusion score is
+    * hash-sharp.
+    *
+    * Scale shape — the production shortlist form: each side reduces to
+    * its TOP-50 via TakeOrderedAndProject (distributed top-k, NO global
+    * rank window over the corpus); rank numbers are then assigned
+    * within the 50-row shortlist (a constant-size window) and fusion is
+    * one join of two 50-row lists. Fusing shortlists instead of full
+    * rankings is the standard hybrid-search contract — a document deep
+    * in BOTH lists is dropped by construction, which is the documented
+    * approximation every production RRF makes. The dense scorer is the
+    * s01 broadcast-probe shape; the sparse scorer is the t20
+    * single-pass shape. */
+  val s09 = Q("s09_hybrid_retrieval",
+    (s, dir) => {
+      val e = emb(s, dir).select("vec_id", "v")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      val wd = Window.orderBy(col("cosine").desc, col("vec_id"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(50)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(wd).cast("long").as("dr"))
+      val qterms = Seq("join", "window", "stream")
+      val base = graft.Tables.df(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .select(col("doc_id") +:
+          size(col("toks")).cast("double").as("dl") +:
+          qterms.map(t =>
+            size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf_$t")): _*)
+        .localCheckpoint(eager = false)
+      val hits = base.select(col("doc_id"), col("dl"),
+          explode(array(qterms.map(t =>
+            struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("x"))
+        .select(col("doc_id"), col("dl"), col("x.term").as("term"), col("x.tf").as("tf"))
+        .filter(col("tf") > 0)
+      val dfreq = hits.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val st = base.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      val ws = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val sparse = hits.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(st))
+        .withColumn("sc",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("sc"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(ws).cast("long").as("sr"))
+      dense.join(sparse, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          round(coalesce(lit(1.0) / (col("dr") + 60.0), lit(0.0)) +
+            coalesce(lit(1.0) / (col("sr") + 60.0), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .select(col("doc_id"), col("rrf"))
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+      dense_all AS (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_dot_product(e.v, qv.qvec) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(qv.qvec, qv.qvec))) DESC,
+                 e.vec_id) AS dr
+        FROM e, qv WHERE e.vec_id <> 0),
+      dense AS (SELECT * FROM dense_all WHERE dr <= 50),
+      base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS DOUBLE) AS dl,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, dl, term,
+               CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM base, (SELECT unnest(['join', 'window', 'stream']) AS term) q),
+      hits AS (SELECT * FROM tf WHERE tf > 0),
+      df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY term),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+      bm AS (
+        SELECT h.doc_id, round(sum(
+                 ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+                   (h.tf * 2.2) /
+                   (h.tf + 1.2 * (0.25 + 0.75 * h.dl / st.avgdl))), 4) AS bm25
+        FROM hits h JOIN df USING (term), st
+        GROUP BY h.doc_id),
+      sparse_all AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS sr
+        FROM bm),
+      sparse AS (SELECT * FROM sparse_all WHERE sr <= 50)
+      SELECT coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+             round(coalesce(1.0 / (dr + 60.0), 0) +
+                   coalesce(1.0 / (sr + 60.0), 0), 6) AS rrf
+      FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }
