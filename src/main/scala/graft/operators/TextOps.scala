@@ -884,6 +884,61 @@ object TextOps {
       ORDER BY bm25 DESC, doc_id
       LIMIT 10"""))
 
+  // ---------------------------------------------------------------- t21
+  /** Weighted sampling WITHOUT replacement, top-10 per source — the
+    * Efraimidis-Spirakis A-ES scheme: each row gets key u^(1/w) for a
+    * uniform u and weight w, and the k largest keys per stratum are an
+    * exact weighted sample without replacement. Ranking by ln(u)/w is
+    * the same order (monotone transform) with one cheaper, t17-proven
+    * libm call. The uniform comes from the md5 digest (t13/t18
+    * discipline), so the "random" sample is bit-reproducible across
+    * runs, engines, and partitionings — no rand(), no seed state.
+    * Here w = token count: longer documents proportionally likelier.
+    *
+    * Completes the sampling family: uniform hash gate (q31), digest
+    * stratification (q37/t13), temperature mixture (t18), class top-k
+    * (t12) — this is the weighted-without-replacement member.
+    *
+    * Scale shape: key assignment rides the scan (hash + ln, expression
+    * space); per-stratum top-k is a WindowGroupLimit-guarded window
+    * keyed by source — bounded by stratum count × k, no global sort. */
+  val t21 = Q("t21_weighted_sample",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(tokensExpr).cast("double").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("u",
+          (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(1000000)).cast("double") + 0.5) / 1e6)
+        .withColumn("key", round(log(col("u")) / col("w"), 9))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("key").desc, col("doc_id"))
+      d.withColumn("rk", row_number().over(wn).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"), col("key"))
+        .orderBy("source", "rk")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS DOUBLE) AS w,
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1e6 AS u
+        FROM documents),
+      k AS (
+        SELECT doc_id, source, round(ln(u) / w, 9) AS key
+        FROM d WHERE w > 0),
+      r AS (
+        SELECT source, doc_id, key,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY key DESC, doc_id) AS rk
+        FROM k)
+      SELECT source, rk, doc_id, key
+      FROM r
+      WHERE rk <= 10
+      ORDER BY source, rk"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -153,6 +153,45 @@ class VersioningAndShuffleSpec extends AnyFunSuite {
     assert(got.head._1 == 3L, "the doc with every query term twice ranks first")
   }
 
+  // ------------------------------------------------------------- t21
+  /** A-ES weighted sampling against an independent sequential replay of
+    * the same key construction (md5-uniform, ln(u)/w ranking): ranks,
+    * keys, and the zero-weight exclusion must all match. */
+  test("t21 weighted sample matches a driver-side A-ES replay") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h", "s0"),
+      (1L, "a b", "s0"),
+      (2L, "a b c d e f g h i j k l m n o p", "s0"),
+      (3L, "a", "s1"),
+      (4L, "a b c d", "s1"),
+      (5L, "", "s1")) // zero tokens → excluded by the w > 0 guard
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = corpus.flatMap { case (id, text, src) =>
+      val w = text.split(" ").count(_.nonEmpty).toDouble
+      if (w == 0) None else {
+        val u = (BigInt(md5hex(id.toString).substring(0, 8), 16) % 1000000).toDouble
+        val key = BigDecimal(math.log((u + 0.5) / 1e6) / w)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((src, id, key))
+      }
+    }.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, key) => (-key, id) }.take(10).zipWithIndex
+        .map { case ((_, id, key), i) => (src, i + 1L, id, key) }
+    }.sortBy { case (src, rk, _, _) => (src, rk) }
+
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aes").toString
+    corpus.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Queries.byName("t21_weighted_sample").build(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(!got.exists(_._3 == 5L), "the zero-weight doc never samples")
+  }
+
   // ------------------------------------------------------------- t19
   test("epochShuffle is seed-deterministic with dense per-shard positions") {
     val ids = (1L to 100L).toDF("doc_id")
