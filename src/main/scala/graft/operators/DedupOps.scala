@@ -206,39 +206,76 @@ object DedupOps {
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------- d03
-  /** SimHash near-dup pairs: 64-bit signature from word hashes, candidate
-    * pairs via the 4×16-bit pigeonhole equi-join, hamming ≤ 3 verify.
-    * Spark-specific hash (xxhash64) → no SQL oracle; exactness covered by
-    * DedupSpec golden tests. */
+  /** SimHash near-dup pairs: 60-bit signature from word hashes, candidate
+    * pairs via the 4×15-bit pigeonhole equi-join, hamming ≤ 3 verify.
+    *
+    * The word hash is ENGINE-PORTABLE (first 15 hex chars of md5 → a
+    * 60-bit non-negative int, the d01/t19 recipe), so the DuckDB oracle
+    * can rebuild the identical signatures and check the pair set with a
+    * plain quadratic join — the pigeonhole join is an optimization, not
+    * a semantic divergence (hamming ≤ 3 over 4 segments ⇒ ≥ 1 segment
+    * equal, so candidate recall is exactly 1). 60 bits loses nothing
+    * material vs 64 for near-dup detection and keeps every shift/XOR in
+    * signed-long range on both engines.
+    *
+    * Scale shape: one explode + grouped bit-sum agg (partial-agg
+    * friendly), then a 4-way segment equi-join whose key space grows
+    * with corpus size — no cross product anywhere. */
   val d03 = Q("d03_simhash",
     (s, dir) => {
       val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
-      val bitAggs = (0 until 64).map(b =>
+      val bitAggs = (0 until 60).map(b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
       val bitSums = words
         .select(col("doc_id"), explode(col("words")).as("w"))
-        .withColumn("h", xxhash64(col("w")))
+        .withColumn("h",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
         .groupBy("doc_id")
         .agg(bitAggs.head, bitAggs.tail: _*)
       val sim = bitSums.select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until 60).map(b =>
           when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L)
         ).reduce(_.bitwiseOR(_)).as("simhash"))
       // pigeonhole: hamming ≤ 3 over 4 segments → ≥1 segment equal
       val seg = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("seg"),
-            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("sv"))): _*)).as("sg"))
+            shiftright(col("simhash"), k * 15).bitwiseAND(0x7FFFL).as("sv"))): _*)).as("sg"))
         .select(col("doc_id"), col("simhash"), col("sg.seg").as("seg"), col("sg.sv").as("sv"))
       seg.alias("x").join(seg.alias("y"), Seq("seg", "sv"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
-    None)
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> ''))
+                 AS ws
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(unnest(ws)), 1, 15)) AS BIGINT) AS h
+        FROM w),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN range(60) t(b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------- d04
   /** Exact bigram-shingle Jaccard pairs (≥ 0.5) — the quadratic baseline.
@@ -353,13 +390,19 @@ object DedupOps {
     // NUMERIC node ids the label SUM is strictly decreasing while
     // anything changes — comparing two 1-row aggregates replaces a full
     // next⋈prev join + count per round. decimal(38,0) keeps the sum
-    // exact far beyond any realistic node-id range. Non-numeric ids
-    // (string keys are legal: min/least order them lexicographically)
-    // would cast to NULL and every round would sum to 0 — a silent
-    // one-round false convergence — so they keep the type-agnostic
-    // join-count check instead.
-    val numericIds = labels.schema("component").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // exact far beyond any realistic node-id range. The fast path is
+    // gated on INTEGRAL ids only: string keys would cast to NULL and
+    // sum to 0 every round, and fractional/decimal ids round under the
+    // decimal(38,0) cast, so distinct label changes could leave the sum
+    // unchanged — both are silent false convergences. Anything
+    // non-integral keeps the type-agnostic join-count check instead.
+    val numericIds = {
+      import org.apache.spark.sql.types._
+      labels.schema("component").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)

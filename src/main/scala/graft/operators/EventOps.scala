@@ -400,6 +400,12 @@ object EventOps {
       val s1D = col("s1").cast("double")
       val s2D = col("s2").cast("double")
       hourly.join(broadcast(stats), "event_type")
+        // cnt > 1 BEFORE the variance: a type with one hourly bucket
+        // yields 0.0/0.0 = NaN, and Spark's NaN ordering makes both
+        // `variance > 0` and `|z| >= 2` true while DuckDB's handling
+        // differs — the exact cross-engine flake the power-sum design
+        // exists to prevent
+        .filter(col("cnt") > 1)
         .withColumn("mean", s1D / cntD)
         .withColumn("variance", (s2D - s1D * s1D / cntD) / (cntD - 1.0))
         .filter(col("variance") > 0.0)
@@ -430,7 +436,8 @@ object EventOps {
                   / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)
                  AS variance,
                CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean
-        FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE cnt > 1)
       SELECT event_type, hour_s, n,
              round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4) AS z
       FROM z

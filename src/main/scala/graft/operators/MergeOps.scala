@@ -200,11 +200,16 @@ object MergeOps {
             round(col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")), 2)
               .cast("double"))
             .otherwise(col("o_totalprice")))
+      // per-row price delta accumulated in decimal(18,2): a double sum's
+      // accumulation order differs between engines (and partitionings),
+      // so a half-cent knife-edge could flip the rounded total — the
+      // decimal cast makes every partial sum exact on both engines
       snapshotDiff(v1, v2, "o_orderkey")
         .groupBy("diff")
         .agg(count(lit(1)).as("n"),
-          round(sum(coalesce(col("new_o_totalprice"), lit(0.0)) -
-            coalesce(col("old_o_totalprice"), lit(0.0))), 2).as("net_value"))
+          sum((coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0)))
+            .cast("decimal(18,2)")).cast("double").as("net_value"))
         .orderBy("diff")
     },
     Some("""
@@ -228,7 +233,8 @@ object MergeOps {
                v1.o_totalprice AS old_p, v2.o_totalprice AS new_p
         FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
       SELECT diff, count(*) AS n,
-             round(sum(coalesce(new_p, 0) - coalesce(old_p, 0)), 2) AS net_value
+             CAST(sum(CAST(coalesce(new_p, 0) - coalesce(old_p, 0)
+                           AS DECIMAL(18,2))) AS DOUBLE) AS net_value
       FROM d
       WHERE diff IS NOT NULL
       GROUP BY diff

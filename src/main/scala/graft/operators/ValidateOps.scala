@@ -74,7 +74,10 @@ object ValidateOps {
     * array of expectation names it violated, so the quarantine is
     * re-processable per reason. The clean side is the complement
     * (`size(reasons) == 0`) of the same one-pass expression — no second
-    * scan, no join.
+    * scan, no join. The reasons list is emitted as a comma-joined
+    * string (order is fixed by the expression itself), which keeps the
+    * result sortable/hashable in any downstream harness while losing
+    * no information.
     *
     * Scale shape: entirely scan-local expression work (the reasons array
     * is built per row in codegen) plus the output sort; at 100 TB the
@@ -92,7 +95,8 @@ object ValidateOps {
           when(!col("lang").isin("en", "de", "es", "fr"),
             lit("off_mix_lang")))))
         .filter(size(col("reasons")) > 0)
-        .select(col("doc_id"), col("lang"), col("reasons"))
+        .select(col("doc_id"), col("lang"),
+          array_join(col("reasons"), ",").as("reasons"))
         .orderBy("doc_id")
     },
     Some("""
@@ -112,7 +116,7 @@ object ValidateOps {
                       THEN 'off_mix_lang' END],
                  x -> x IS NOT NULL) AS reasons
         FROM d)
-      SELECT doc_id, lang, reasons
+      SELECT doc_id, lang, array_to_string(reasons, ',') AS reasons
       FROM r
       WHERE len(reasons) > 0
       ORDER BY doc_id"""))

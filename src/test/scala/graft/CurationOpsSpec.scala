@@ -119,12 +119,12 @@ class CurationOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = fixtureDir("documents" -> docs)
     val got = operators.ValidateOps.v02.build(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(
-      4L -> List("off_mix_lang"),
-      5L -> List("too_few_tokens"),
-      6L -> List("bad_token_len"),
-      8L -> List("too_few_tokens", "off_mix_lang")))
+      4L -> "off_mix_lang",
+      5L -> "too_few_tokens",
+      6L -> "bad_token_len",
+      8L -> "too_few_tokens,off_mix_lang"))
   }
 
   // ------------------------------------------------------------- v03
