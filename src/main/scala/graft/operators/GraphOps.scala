@@ -95,7 +95,7 @@ object GraphOps {
   val g01 = Q("g01_neardup_triangles",
     (s, dir) =>
       triangleCountDegreeOrdered(
-        DedupOps.prefixFilterPairs(s, dir).select("doc_a", "doc_b")),
+        DedupOps.sharedPairGraph(s, dir).select("doc_a", "doc_b")),
     Some("""
       WITH w AS (
         SELECT doc_id,
@@ -313,7 +313,7 @@ object GraphOps {
   val g04 = Q("g04_lpa_communities",
     (s, dir) =>
       labelPropagation(
-        DedupOps.prefixFilterPairs(s, dir, 0.7).select("doc_a", "doc_b"),
+        DedupOps.sharedPairGraph(s, dir, 0.7).select("doc_a", "doc_b"),
         iterations = 2)
         .select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy("doc_id"),
