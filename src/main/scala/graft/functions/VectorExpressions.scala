@@ -239,6 +239,85 @@ case class FirstCommonLong(left: Expression, right: Expression)
   override def prettyName: String = "first_common_long"
 }
 
+/** Exact intersection size of two SORTED ascending `array<long>` sets
+  * (same runtime contract as [[SortedLongJaccard]]), with an EARLY-EXIT
+  * miss budget: returns |A∩B| when at most `budget` elements of A are
+  * missing from B, and −1 as soon as the (budget+1)-th miss is seen —
+  * without finishing the merge. This is the containment-verify inner
+  * loop: a candidate pair needs containment(A→B) = |A∩B|/|A| ≥ t, i.e.
+  * at most ⌊(1−t)·|A|⌋ misses, so a false candidate (the overwhelming
+  * majority — measured 15.8M candidates vs 79k true pairs at sf0.1)
+  * dies after ~(1−t)·|A| merge steps instead of |A|+|B|. The −1 branch
+  * never lies: misses only accumulate, so once over budget the true
+  * containment is provably < t (modulo the caller's epsilon discipline
+  * on the budget itself). */
+case class SortedLongIntersectBudget(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arraysOk = Seq(first, second).forall(_.dataType match {
+      case ArrayType(LongType, containsNull) => !containsNull
+      case _ => false
+    })
+    if (arraysOk && third.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_intersect_within expects (array<bigint> non-null elements, " +
+        s"array<bigint> non-null elements, int), got ${first.dataType.simpleString}, " +
+        s"${second.dataType.simpleString}, ${third.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, bud: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val budget = bud.asInstanceOf[Int]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0; var miss = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) {
+        miss += 1
+        if (miss > budget) return -1
+        i += 1
+      } else j += 1
+    }
+    if (miss + (nx - i) > budget) -1 else inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, bud) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val inter = ctx.freshName("inter"); val miss = ctx.freshName("miss")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val over = ctx.freshName("over")
+      s"""
+        |int $nx = $a.numElements(); int $ny = $b.numElements();
+        |int $i = 0; int $j = 0; int $inter = 0; int $miss = 0;
+        |boolean $over = false;
+        |while ($i < $nx && $j < $ny) {
+        |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+        |  if ($xi == $yj) { $inter++; $i++; $j++; }
+        |  else if ($xi < $yj) {
+        |    $miss++;
+        |    if ($miss > $bud) { $over = true; break; }
+        |    $i++;
+        |  } else { $j++; }
+        |}
+        |${ev.value} = ($over || $miss + ($nx - $i) > $bud) ? -1 : $inter;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sorted_long_intersect_within"
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -259,6 +338,10 @@ object VectorFunctions {
     Bridge.column(FirstCommonLong(
       Bridge.expression(a), Bridge.expression(b)))
 
+  def sorted_long_intersect_within(a: Column, b: Column, budget: Column): Column =
+    Bridge.column(SortedLongIntersectBudget(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(budget)))
+
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -269,5 +352,8 @@ object VectorFunctions {
       "sorted_long_jaccard", exprs => SortedLongJaccard(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "first_common_long", exprs => FirstCommonLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_intersect_within",
+      exprs => SortedLongIntersectBudget(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -798,18 +798,34 @@ object DedupOps {
   private[operators] def containmentPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     // the hashed-set frame feeds four consumers (prefix build, posting
-    // list, both verify sides) — materialize once, d02/CC discipline
-    val sets = hashedWordSets(s, dir).localCheckpoint(eager = false)
+    // list, both verify sides) — materialize once, d02/CC discipline.
+    // EAGER: the consumers run in parallel stages of one action, and a
+    // lazy checkpoint's blocks are raced — each stage re-runs the scan
+    // + tokenize + hash pipeline before any publishes (the d02 race,
+    // measured there at ~7 s of duplicated work at sf0.1)
+    val sets = hashedWordSets(s, dir).localCheckpoint()
     val cand = containmentCandidatesOn(sets, threshold)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("sz").as("sza")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("sz").as("szb")), "doc_b")
-      .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
-      .withColumn("inter",
-        round(col("jac") * (col("sza") + col("szb")) / (col("jac") + 1.0), 0))
-      .withColumn("containment", col("inter") / col("sza"))
+      // budgeted early-exit verify: containment ≥ t allows at most
+      // |A| − ⌈t·|A|⌉ of A's tokens to be missing from B (the same
+      // 1e-9 ceil nudge as the prefix length), so the merge aborts on
+      // the (budget+1)-th miss — the overwhelming majority of
+      // candidates (15.8M for 79k true pairs at sf0.1) die after
+      // ~(1−t)·|A| steps instead of a full |A|+|B| Jaccard merge
+      // (measured 52 → ~30 s for d09). The surviving count is the
+      // EXACT integer |A∩B|, so containment is the same
+      // integer-division the oracle computes — bit-identical.
+      .withColumn("budget",
+        (col("sza") - ceil(col("sza") * threshold - 1e-9)).cast("int"))
+      .withColumn("icnt",
+        graft.functions.VectorFunctions.sorted_long_intersect_within(
+          col("ha"), col("hb"), col("budget")))
+      .filter(col("icnt") >= 0)
+      .withColumn("containment", col("icnt").cast("double") / col("sza"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }

@@ -92,6 +92,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
   }
 
+  test("sorted_long_intersect_within: exact count within budget, -1 over") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 4L), 2),  // misses {1,3} = budget → 2
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 4L), 1),  // misses 2 > 1 → -1
+      (Seq(1L, 2L), Seq(1L, 2L, 99L), 0),     // subset, zero misses → 2
+      (Seq(5L, 6L), Seq(1L, 2L), 1),          // disjoint, 2 misses > 1 → -1
+      (Seq.empty[Long], Seq(1L), 0))          // empty A → 0 misses → 0
+      .toDF("a", "b", "k")
+    val got = df.select(VectorFunctions.sorted_long_intersect_within(
+      col("a"), col("b"), col("k")).as("c")).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(2, -1, 2, -1, 0))
+    // randomized: wherever the budget admits, the count equals the
+    // plain intersection size; where it refuses, the true miss count
+    // really exceeds the budget
+    val rnd = new scala.util.Random(13)
+    val rdf = Seq.fill(300)((
+      Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted,
+      rnd.nextInt(8))).toDF("a", "b", "k")
+    rdf.select(col("a"), col("k"),
+      VectorFunctions.sorted_long_intersect_within(col("a"), col("b"), col("k")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+      .foreach { r =>
+        val misses = r.getSeq[Long](0).size - r.getInt(3)
+        if (misses <= r.getInt(1)) assert(r.getInt(2) == r.getInt(3))
+        else assert(r.getInt(2) == -1)
+      }
+  }
+
   test("first_common_long rejects nullable-element arrays at analysis time") {
     import spark.implicits._
     // containsNull=true elements would be read as arbitrary longs by
