@@ -604,7 +604,13 @@ object DedupOps {
     * the whole corpus, d02's hot-bucket fallback on the hot-doc subset. */
   private[graft] def prefixCandidatesOn(sets: DataFrame,
       threshold: Double): DataFrame = {
-    val pref = rarityPrefix(sets, threshold)
+    // pref feeds BOTH sides of the self-join; without materialization
+    // the whole rarityPrefix pipeline (token explode + df aggregate +
+    // join + per-doc sorted collect — the expensive half of the
+    // kernel) runs once per side, in racing parallel stages (measured
+    // ~2× the stage time at sf1.0). Eager localCheckpoint, the d02
+    // discipline.
+    val pref = rarityPrefix(sets, threshold).localCheckpoint()
     pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&

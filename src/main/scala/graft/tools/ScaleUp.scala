@@ -1,0 +1,111 @@
+package graft.tools
+
+import graft.Session
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence generator: replicates the driver's sf0.1 fixture N×
+  * into a larger scale factor (default 10× ≈ sf1.0, ~6M-row lineitem)
+  * with SHIFTED surrogate keys, so every join key space and aggregate
+  * group count grows with the data — the scaling a real corpus shows,
+  * not N identical shards.
+  *
+  * Replica k shifts each table's keys by k·(max_key+1); foreign keys
+  * shift by their parent's stride, so referential integrity holds
+  * within every replica and joins never cross replicas (exactly like
+  * TPC-H's sf scaling, where new customers bring new orders).
+  *
+  * `documents` additionally rewrites ~15% of each replica's words with
+  * a replica-tagged variant: cross-replica twins land at Jaccard
+  * ≈ 0.74 — BELOW the 0.9 near-dup threshold — so duplicate-family
+  * sizes stay constant while the corpus grows. Without this, replica
+  * twins would be exact dups and the pair space of the dedup family
+  * would grow quadratically in N by construction, which says nothing
+  * about how the operators scale on real data.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas] */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = Session.get("graft-scaleup")
+    try generate(spark, src, dst, replicas)
+    finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String,
+      replicas: Int): Unit = {
+    def raw(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+    // one explode per source row → N replica rows in a single scan
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("k", explode(sequence(lit(0), lit(replicas - 1))))
+    def shift(key: String, s: Long) =
+      (col(key) + col("k") * s).as(key)
+    def save(df: DataFrame, name: String, parts: Int): Unit = {
+      df.drop("k").repartition(parts)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name x$replicas written")
+    }
+
+    val customer = raw("customer"); val orders = raw("orders")
+    val part = raw("part"); val supplier = raw("supplier")
+    val strideC = stride(customer, "c_custkey")
+    val strideO = stride(orders, "o_orderkey")
+    val strideP = stride(part, "p_partkey")
+    val strideS = stride(supplier, "s_suppkey")
+
+    // dims copied verbatim (nation/region are fixed 25/5 in TPC-H too)
+    raw("region").write.mode("overwrite").parquet(s"$dst/region.parquet")
+    raw("nation").write.mode("overwrite").parquet(s"$dst/nation.parquet")
+
+    save(replicate(customer).select(shift("c_custkey", strideC),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")), "customer", 4)
+    save(replicate(supplier).select(shift("s_suppkey", strideS),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 1)
+    save(replicate(part).select(shift("p_partkey", strideP),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part", 2)
+    save(replicate(orders).select(shift("o_orderkey", strideO),
+      shift("o_custkey", strideC), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders", 8)
+    save(replicate(raw("lineitem")).select(shift("l_orderkey", strideO),
+      shift("l_partkey", strideP), shift("l_suppkey", strideS),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
+
+    // events: ts arrives as an epoch-nano long (nanosAsLong, see
+    // Session) and is written back as a plain int64 — Tables.df's
+    // `timestamp_micros(ts div 1000)` reads both identically
+    val events = raw("events")
+    val strideE = stride(events, "event_id")
+    val strideU = stride(events, "user_id")
+    save(replicate(events).select(shift("event_id", strideE),
+      col("ts"), shift("user_id", strideU), col("event_type"),
+      col("value"), col("props")), "events", 8)
+
+    val documents = raw("documents")
+    val strideD = stride(documents, "doc_id")
+    val perturbed = expr(
+      """concat_ws(' ', transform(split(text, ' '),
+        |  w -> CASE WHEN k > 0 AND w != ''
+        |              AND pmod(xxhash64(concat(w, ':', k)), 100) < 15
+        |            THEN concat(w, '_', k) ELSE w END))""".stripMargin)
+    save(replicate(documents).select(shift("doc_id", strideD),
+      perturbed.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents", 4)
+
+    val embeddings = raw("embeddings")
+    val strideV = stride(embeddings, "vec_id")
+    save(replicate(embeddings).select(shift("vec_id", strideV),
+      col("embedding"), col("label")), "embeddings", 4)
+  }
+}
