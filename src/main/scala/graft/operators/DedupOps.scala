@@ -91,8 +91,9 @@ object DedupOps {
     * volume at 0.9: the dominant J≈1 template pairs collide in ALL b
     * bands for ANY banding, and recall pins b from below. The volume
     * lever for that corpus shape is the hot-bucket cutoff, not (b, r).
-    * At lower thresholds the curve genuinely moves: t=0.8 → (21, 3),
-    * t=0.7 → (32, 2). */
+    * At lower thresholds the curve genuinely moves: t ≤ 0.84 drops to
+    * r=2 / 32 bands (at t=0.8, r=3's miss is 2.9e-7 — over target).
+    * ScaleUpSpec re-derives the curve. */
   private[graft] def lshBandingFor(threshold: Double, nHashes: Int = 64,
       targetMiss: Double = 1e-7): (Int, Int) = {
     val r = (1 to 16).filter { r =>
