@@ -336,9 +336,22 @@ object DedupOps {
         col("sz").as("sza"))
       val b = grams.select(col("doc_id").as("doc_b"), col("gh").as("gb"),
         col("sz").as("szb"))
+      // budgeted verify (the d09 kernel): J ≥ t needs |A∩B| ≥
+      // t·(|A|+|B|)/(1+t), i.e. at most |A| − ⌈that⌉ A-misses — the
+      // merge aborts on the first over-budget miss, so the mostly-
+      // disjoint pairs that dominate a quadratic join die early. The
+      // surviving count is the exact integer intersection, so jac is
+      // the same I/(|A|+|B|−I) division as before — bit-identical.
       a.join(b, col("doc_a") < col("doc_b") &&
           col("sza") * 2 >= col("szb") && col("szb") * 2 >= col("sza"))
-        .withColumn("jac", sorted_long_jaccard(col("ga"), col("gb")))
+        .withColumn("budget", (col("sza") -
+          ceil(lit(0.5) * (col("sza") + col("szb")) / 1.5 - 1e-9)).cast("int"))
+        .withColumn("icnt",
+          graft.functions.VectorFunctions.sorted_long_intersect_within(
+            col("ga"), col("gb"), col("budget")))
+        .filter(col("icnt") >= 0)
+        .withColumn("jac", col("icnt").cast("double") /
+          (col("sza") + col("szb") - col("icnt")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
