@@ -211,6 +211,13 @@ object DedupOps {
     * and keep exactly the pairs with true Jaccard ≥ threshold. The doc
     * sides are small relative to the pair set (one row per doc) and
     * broadcast when they fit; the per-pair cost is a primitive merge. */
+  // NOT the budgeted early-exit kernel, on purpose: d02/d07 prefix and
+  // band candidates are mostly TRUE pairs (the filters upstream are
+  // tight), so nearly every merge runs to completion anyway and the
+  // budget bookkeeping only adds cost — measured d07 4.4 → 5.3 s /
+  // d02 7.1 → 9.0 s on the budgeted variant, so the plain fused merge
+  // stays. The budgeted kernel pays where candidates are mostly false
+  // (d09: 52 → 42 s, d04: 43 → 19 s).
   private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     val ha = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
