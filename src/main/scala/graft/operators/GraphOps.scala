@@ -72,7 +72,19 @@ object GraphOps {
     // input twice (degree agg + join) — without this each of the ~4
     // consumers re-runs whatever pipeline produced the edges (for g01:
     // the whole near-dup pair kernel; measured 150 s → ~8 s at sf0.1)
-    val o = degreeOriented(edges.localCheckpoint(eager = false)).localCheckpoint(eager = false)
+    // EAGER checkpoints (the d02 race lesson): `o` feeds both wedge
+    // sides AND the closure join in parallel stages of one action.
+    // The explicit-N repartition on the wedge apex is load-bearing: the
+    // oriented edge frame is only a few MB, so AQE coalesces its
+    // shuffle to a couple of partitions — but the wedge join EXPLODES
+    // (Σ C(outdeg, 2) rows ≫ edges; dense dedup cliques make it ~50×
+    // the edge count at sf0.1), and the explosion runs in the join
+    // stage, on however many tasks own the apex partitions. Pinning
+    // hash(src, numShufflePartitions) keeps all cores on the explosion
+    // and co-partitions both join sides.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val o = degreeOriented(edges.localCheckpoint())
+      .repartition(nPart, col("src")).localCheckpoint()
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
     val wedges = o.alias("x")
@@ -292,9 +304,11 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = canonical(edges)
+    // eager: sym feeds the label init AND every round's join — lazy
+    // checkpoints are raced by parallel stages (the d02/g01 lesson)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
