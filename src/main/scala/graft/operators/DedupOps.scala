@@ -956,7 +956,7 @@ object DedupOps {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
     val pairs = a.join(b, Seq("cid"))

@@ -319,7 +319,7 @@ object GraphOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "label")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     labels
   }
