@@ -49,41 +49,48 @@ object BlockSplit {
              |  i -> substring(content, i * $blockSize + 1, $blockSize))"""
             .stripMargin)).as(Seq("block_index", "data")))
 
-  /** One row per newline-packed block: (path, block_index, data: string)
+  /** One row per newline-packed block: (path, block_index, data: binary)
     * — the `split_on_newline: true` chunker. Lines keep their
     * terminators (the reference streams lines with `\n` attached), and
     * the greedy rule is byte-for-byte the reference's `chunk_while`:
-    * emit when `current + line > blockSize` and current is non-empty. */
+    * emit when `current + line > blockSize` and current is non-empty.
+    * Line boundaries come from scanning the RAW bytes for 0x0A — no
+    * charset decode anywhere, so arbitrary (even invalid-UTF-8) input
+    * passes through byte-exact instead of being silently rewritten to
+    * replacement characters. */
   def lineBlocks(spark: SparkSession, path: String, blockSize: Int): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        var st = 0
-        var nl = s.indexOf('\n')
-        while (nl >= 0) {
-          lines += s.substring(st, nl + 1)
-          st = nl + 1
-          nl = s.indexOf('\n', st)
+        // line end offsets (exclusive), terminators attached
+        val bounds = scala.collection.mutable.ArrayBuffer(0)
+        var i = 0
+        while (i < bytes.length) {
+          if (bytes(i) == 0x0A) bounds += i + 1
+          i += 1
         }
-        if (st < s.length) lines += s.substring(st)
-        val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
-        val acc = new StringBuilder
-        var accBytes = 0L
-        def flush(): Unit = if (accBytes > 0) {
-          blocks += ((p, blocks.length, acc.toString))
-          acc.clear(); accBytes = 0
+        if (bounds.last != bytes.length) bounds += bytes.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Array[Byte])]
+        var blockStart = 0 // byte offset where the current block began
+        var accBytes = 0
+        var j = 1
+        while (j < bounds.length) {
+          val lineBytes = bounds(j) - bounds(j - 1)
+          if (accBytes + lineBytes > blockSize && accBytes > 0) {
+            out += ((p, out.length,
+              java.util.Arrays.copyOfRange(bytes, blockStart, bounds(j - 1))))
+            blockStart = bounds(j - 1)
+            accBytes = 0
+          }
+          accBytes += lineBytes
+          j += 1
         }
-        lines.foreach { line =>
-          val lb = line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-          if (accBytes + lb > blockSize && accBytes > 0) flush()
-          acc.append(line); accBytes += lb
-        }
-        flush()
-        blocks
+        if (accBytes > 0)
+          out += ((p, out.length,
+            java.util.Arrays.copyOfRange(bytes, blockStart, bytes.length)))
+        out
       }
       .toDF("path", "block_index", "data")
   }

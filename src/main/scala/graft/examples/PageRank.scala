@@ -1,5 +1,6 @@
 package graft.examples
 
+import graft.core.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,7 +67,7 @@ object PageRank {
     var ranks = emptyRanks(spark)
     for (i <- 1 to iterations) {
       ranks = iterate(links, ranks, damping, totalPages)
-      if (i % 5 == 0) ranks = ranks.localCheckpoint() // bound lineage growth
+      if (i % 5 == 0) ranks = ranks.materialize // bound lineage growth
     }
     ranks
   }
@@ -90,7 +91,7 @@ object PageRank {
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIterations && delta >= eps) {
-      val next = iterate(links, ranks, damping, totalPages).localCheckpoint()
+      val next = iterate(links, ranks, damping, totalPages).materialize
       if (i > 0) {
         delta = next
           .join(ranks.withColumnRenamed("rank", "prev_rank"), Seq("page"), "full_outer")

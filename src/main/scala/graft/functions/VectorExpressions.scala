@@ -186,16 +186,18 @@ case class FirstCommonLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    // Null elements would be read as arbitrary longs by getLong, so only
-    // containsNull=false arrays are accepted; the ascending-sorted
-    // requirement is a runtime contract the type system cannot see.
+    // Like the ascending-sorted requirement, null-free elements are a
+    // RUNTIME contract (null elements would be read as arbitrary longs
+    // by getLong): it cannot be enforced statically because a parquet
+    // round-trip (Materialize reliable mode) erases containsNull=false
+    // even though the data is unchanged.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, containsNull) => !containsNull
+      case ArrayType(LongType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"first_common_long expects two array<bigint> (element nullable = false, " +
+      s"first_common_long expects two array<bigint> (null-free, " +
         s"elements sorted ascending) arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
@@ -257,15 +259,16 @@ case class SortedLongIntersectBudget(first: Expression, second: Expression,
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // null-free elements are a runtime contract, as in FirstCommonLong
     val arraysOk = Seq(first, second).forall(_.dataType match {
-      case ArrayType(LongType, containsNull) => !containsNull
+      case ArrayType(LongType, _) => true
       case _ => false
     })
     if (arraysOk && third.dataType == IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_long_intersect_within expects (array<bigint> non-null elements, " +
-        s"array<bigint> non-null elements, int), got ${first.dataType.simpleString}, " +
+      s"sorted_long_intersect_within expects (array<bigint> null-free elements, " +
+        s"array<bigint> null-free elements, int), got ${first.dataType.simpleString}, " +
         s"${second.dataType.simpleString}, ${third.dataType.simpleString}")
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MatOps
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions.{cosine_similarity, first_common_long, jaccard_similarity, sorted_long_jaccard}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -155,7 +156,7 @@ object DedupOps {
       .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .localCheckpoint()
+      .materialize
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
     // (AQE can split the partitions but not shrink the pair volume). Docs
@@ -167,7 +168,7 @@ object DedupOps {
     // enumeration among hot docs never happens; pairs with at most one
     // hot doc meet only in ≤ maxBucket buckets (a bucket containing a
     // cold doc is by definition not oversize).
-    val hotDocs = lshHotDocs(bands, maxBucket).localCheckpoint()
+    val hotDocs = lshHotDocs(bands, maxBucket).materialize
     val flagged = bands.join(
       hotDocs.withColumn("hot", lit(true)), Seq("doc_id"), "left")
       .withColumn("hot", coalesce(col("hot"), lit(false)))
@@ -189,7 +190,7 @@ object DedupOps {
     // same once-materialization as `bands`: the hashed word sets feed
     // both verify sides and the hot-doc fallback kernel (eager for the
     // same parallel-stage reason)
-    val sets = hashedWordSets(s, dir).localCheckpoint()
+    val sets = hashedWordSets(s, dir).materialize
     // exact verify on candidates only, over sorted-long word sets; hot
     // docs' mutual pairs come from the exact kernel (disjoint from the
     // cold set by the both-hot filter above, so a plain union)
@@ -438,10 +439,10 @@ object DedupOps {
     // relative to the corpus, so this is the 100 TB shape too.
     val sym = edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
-      .localCheckpoint()
+      .materialize
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .materialize
     // convergence check: labels are per-node non-increasing, so for
     // NUMERIC node ids the label SUM is strictly decreasing while
     // anything changes — comparing two 1-row aggregates replaces a full
@@ -472,7 +473,7 @@ object DedupOps {
         .select(col("dst").as("node"), col("component"))
       val next = labels.select("node", "component").union(fromNbr)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+        .materialize
       if (numericIds) {
         val nextSum = labelSum(next)
         changed = nextSum.compareTo(prevSum) != 0
@@ -523,11 +524,11 @@ object DedupOps {
     }
 
     var e = edges.toDF("u", "v").filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .materialize
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = star(star(e, large = true), large = false).materialize
       done = canon(next).except(canon(e)).isEmpty &&
         canon(e).except(canon(next)).isEmpty
       e = next
@@ -631,7 +632,7 @@ object DedupOps {
     // kernel) runs once per side, in racing parallel stages (measured
     // ~2× the stage time at sf1.0). Eager localCheckpoint, the d02
     // discipline.
-    val pref = rarityPrefix(sets, threshold).localCheckpoint()
+    val pref = rarityPrefix(sets, threshold).materialize
     pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
@@ -658,20 +659,42 @@ object DedupOps {
     * collect in between — recomputation then runs the whole kernel
     * again per consumer (measured: g01 48.6 s at sf0.1 on the
     * checkpoint variant vs ~1 s scanning the parquet). Keyed by
-    * applicationId so a fresh session never reads a stale file. */
+    * applicationId AND a listing fingerprint of the input files (paths,
+    * lengths, mtimes), so a rewrite of the data under `dir` within one
+    * application invalidates the memo instead of serving stale pairs.
+    * The intermediate lives under Materialize's scratch base — a
+    * configurable shared filesystem on a cluster (`graft.scratchDir`),
+    * deleted on session shutdown. */
   private val pairGraphMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
 
+  /** Cheap content fingerprint of everything under `dir`: md5 over the
+    * sorted (path, length, mtime) listing via the path's own filesystem
+    * — no data read, works on local FS and shared FS alike. */
+  private def inputFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   private[graft] def sharedPairGraph(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
-    val path = pairGraphMemo.getOrElseUpdate(
-      (s.sparkContext.applicationId, dir, threshold), {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-pairgraph").toString
-        prefixFilterPairs(s, dir, threshold)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+    val key = (s.sparkContext.applicationId,
+      inputFingerprint(s, dir), threshold)
+    val path = pairGraphMemo.getOrElseUpdate(key, {
+      val p = graft.core.Materialize.freshScratchPath(s, "pairgraph")
+      prefixFilterPairs(s, dir, threshold)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
     s.read.parquet(path)
   }
 
@@ -830,7 +853,7 @@ object DedupOps {
     // lazy checkpoint's blocks are raced — each stage re-runs the scan
     // + tokenize + hash pipeline before any publishes (the d02 race,
     // measured there at ~7 s of duplicated work at sf0.1)
-    val sets = hashedWordSets(s, dir).localCheckpoint()
+    val sets = hashedWordSets(s, dir).materialize
     val cand = containmentCandidatesOn(sets, threshold)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
@@ -956,7 +979,7 @@ object DedupOps {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
-      .localCheckpoint()
+      .materialize
     val a = assigned.select(col("cid"), col("vec_id").as("va"), col("v").as("xa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vb"), col("v").as("xb"))
     val pairs = a.join(b, Seq("cid"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MatOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -392,7 +393,7 @@ object EventOps {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
             .as("hour_s"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .materialize
       val stats = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
           sum(col("n") * col("n")).as("s2"))
@@ -514,7 +515,7 @@ object EventOps {
       val du = ev(s, dir)
         .select(to_date(col("ts")).as("eday"), col("user_id"))
         .distinct()
-        .localCheckpoint() // feeds the explode AND the day list
+        .materialize // feeds the explode AND the day list
       val days = du.select(col("eday").as("day")).distinct()
       du.select(explode(expr("sequence(eday, date_add(eday, 6))")).as("day"),
           col("user_id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MatOps
 import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,8 +84,8 @@ object GraphOps {
     // hash(src, numShufflePartitions) keeps all cores on the explosion
     // and co-partitions both join sides.
     val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val o = degreeOriented(edges.localCheckpoint())
-      .repartition(nPart, col("src")).localCheckpoint()
+    val o = degreeOriented(edges.materialize)
+      .repartition(nPart, col("src")).materialize
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
     val wedges = o.alias("x")
@@ -170,7 +171,7 @@ object GraphOps {
       ranks = telC
         .union(contribs)
         .groupBy("page").agg(sum("c").as("rank"))
-      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+      if (i % 5 == 0) ranks = ranks.materialize
     }
     ranks
   }
@@ -308,7 +309,7 @@ object GraphOps {
     // checkpoints are raced by parallel stages (the d02/g01 lesson)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .materialize
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
@@ -319,7 +320,7 @@ object GraphOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "label")
-        .localCheckpoint()
+        .materialize
     }
     labels
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MatOps
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions.cosine_similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -409,10 +410,10 @@ object SimilarityOps {
       // the checkpoint each consumer would re-run the scan + 8-centroid
       // (resp. codebook) distance pipeline
       val assigned = e.withColumn("cell", nearestCellExpr(centroids, "v"))
-        .localCheckpoint()
+        .materialize
       val subs = pqSubvectors(e)
       val codebook = pqCodebook(subs)
-      val codes = pqCodes(subs, codebook).localCheckpoint()
+      val codes = pqCodes(subs, codebook).materialize
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
       val probes = q.withColumn("cell2", secondCellExpr(centroids, "qv"))
@@ -495,7 +496,7 @@ object SimilarityOps {
           size(col("toks")).cast("double").as("dl") +:
           qterms.map(t =>
             size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf_$t")): _*)
-        .localCheckpoint()
+        .materialize
       val hits = base.select(col("doc_id"), col("dl"),
           explode(array(qterms.map(t =>
             struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("x"))

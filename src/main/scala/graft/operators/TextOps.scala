@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize.MatOps
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -685,7 +686,7 @@ object TextOps {
       // vocabulary-bounded; materialized once so the corpus-tokenize +
       // count pipeline behind it runs once for its two consumers (the
       // scoring join and the 1-row total)
-      val lm = tok.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+      val lm = tok.groupBy("w").agg(count(lit(1)).as("c")).materialize
       val total = lm.agg(sum("c").as("total"))
       tok.join(lm, "w")
         .crossJoin(broadcast(total))
@@ -840,7 +841,7 @@ object TextOps {
           size(col("toks")).cast("double").as("dl") +:
           qterms.map(t =>
             size(expr(s"filter(toks, x -> x = '$t')")).cast("long").as(s"tf_$t")): _*)
-        .localCheckpoint()
+        .materialize
       val hits = base.select(col("doc_id"), col("dl"),
           explode(array(qterms.map(t =>
             struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("x"))

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.core.Materialize.MatOps
 import graft.Session
 import graft.examples.PageRank
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object BigGraphBench {
       expr(s"""transform(sequence(1, 1 + cast(pmod(xxhash64(id), 7) as int)),
               |  j -> concat('n', pmod(xxhash64(id * 31 + j), ${n}L)))"""
         .stripMargin).as("targets"))
-      .localCheckpoint() // the loop's stable input, materialized once
+      .materialize // the loop's stable input, materialized once
     val edges = links.select(sum(size(col("targets")))).head.getLong(0)
 
     val t0 = System.nanoTime()

@@ -39,8 +39,18 @@ object ScaleUp {
       replicas: Int): Unit = {
     def raw(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    def stride(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key))).head
+      require(!row.isNullAt(0),
+        s"table under $src is empty — cannot derive a stride for key '$key'")
+      row.get(0) match {
+        case l: Long => l + 1L
+        case i: Int  => i.toLong + 1L
+        case other => throw new IllegalArgumentException(
+          s"key '$key' must be integral to derive a stride; " +
+            s"got ${other.getClass.getSimpleName}")
+      }
+    }
     // one explode per source row → N replica rows in a single scan
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("k", explode(sequence(lit(0), lit(replicas - 1))))

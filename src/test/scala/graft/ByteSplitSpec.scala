@@ -63,14 +63,30 @@ class ByteSplitSpec extends AnyFunSuite {
     val text = "aaaaa\nbbbbb\nccccccccccc\nddddd\n"
     val dir = writeFixture(text)
     val blocks = BlockSplit.lineBlocks(spark, dir, 12)
-      .orderBy("block_index").collect().map(_.getString(2))
+      .orderBy("block_index").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("data"), "UTF-8"))
     assert(blocks.toSeq == Seq("aaaaa\nbbbbb\n", "ccccccccccc\n", "ddddd\n"))
     assert(blocks.forall(_.endsWith("\n")), "a line was torn")
     assert(blocks.mkString == text)
     // oversized single line: own block, larger than blockSize
     val big = writeFixture("x" * 20 + "\nyy\n")
     val b2 = BlockSplit.lineBlocks(spark, big, 12)
-      .orderBy("block_index").collect().map(_.getString(2))
+      .orderBy("block_index").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("data"), "UTF-8"))
     assert(b2.toSeq == Seq("x" * 20 + "\n", "yy\n"))
+  }
+
+  test("newline-packed blocks are byte-exact for invalid-UTF-8 input") {
+    // 0xFF / 0xFE are not valid UTF-8; a decode-then-reencode chunker
+    // would rewrite them as U+FFFD and shift every later boundary
+    val raw = Array[Byte](0xFF.toByte, 0xFE.toByte, 'a', '\n',
+      0x80.toByte, 'b', 'c', '\n', 'd', '\n')
+    val d = Files.createTempDirectory("graft-bytesplit-bin")
+    Files.write(d.resolve("f.bin"), raw)
+    val blocks = BlockSplit.lineBlocks(spark, d.toString, 6)
+      .orderBy("block_index").collect().map(_.getAs[Array[Byte]]("data"))
+    assert(blocks.map(_.length).sum == raw.length)
+    assert(blocks.flatten.toSeq == raw.toSeq, "bytes were rewritten")
+    assert(blocks.forall(b => b.last == '\n'), "a line was torn")
   }
 }

@@ -122,12 +122,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
   }
 
-  test("first_common_long rejects nullable-element arrays at analysis time") {
+  test("first_common_long accepts nullable-element schemas (parquet round-trip)") {
     import spark.implicits._
-    // containsNull=true elements would be read as arbitrary longs by
-    // getLong — the type check must refuse them, not mis-evaluate
-    val df = Seq((Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(1L))))
-      .toDF("a", "b")
+    // A parquet round-trip (Materialize reliable mode) erases
+    // containsNull=false even when the data is unchanged, so null-free
+    // elements are a RUNTIME contract — the analyzer must accept the
+    // nullable-element schema and evaluate null-free data correctly.
+    val p = java.nio.file.Files.createTempDirectory("graft-fcl").toString
+    Seq((Seq(1L, 3L, 7L), Seq(2L, 3L, 7L))).toDF("a", "b")
+      .write.mode("overwrite").parquet(p)
+    val rt = spark.read.parquet(p)
+    assert(rt.schema.fields.forall(
+      _.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull))
+    val got = rt.select(
+      VectorFunctions.first_common_long(col("a"), col("b"))).head.getLong(0)
+    assert(got == 3L)
+  }
+
+  test("first_common_long still rejects non-long arrays at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
     val ex = intercept[Exception] {
       df.select(VectorFunctions.first_common_long(col("a"), col("b"))).collect()
     }
