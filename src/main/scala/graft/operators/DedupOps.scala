@@ -107,8 +107,12 @@ object DedupOps {
     * at the threshold-adaptive banding, then exact Jaccard ≥ `threshold`
     * on candidates only. Shared by d02 (pair listing) and the streaming
     * twin. */
-  private[graft] def nearDupPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.9, maxBucket: Int = 16): DataFrame = {
+  /** The un-materialized LSH band frame (doc_id, bhs, band, bh) plus
+    * its numBands constant — extracted so the hot-bucket spec can
+    * measure bucket loads and the derived cutoff on arbitrary corpora
+    * with exactly the production banding. */
+  private[graft] def lshBands(s: SparkSession, dir: String,
+      threshold: Double): (DataFrame, Int) = {
     val P = 2147483647L // 2^31-1, prime
     val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
     // scan-local sketch: each doc's word hashes are computed ONCE, then
@@ -156,7 +160,13 @@ object DedupOps {
       .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
       .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .materialize
+    (bands, numBands)
+  }
+
+  private[graft] def nearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9, maxBucket: Int = 0): DataFrame = {
+    val (bands0, numBands) = lshBands(s, dir, threshold)
+    val bands = bands0.materialize
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
     // (AQE can split the partitions but not shrink the pair volume). Docs
@@ -166,9 +176,27 @@ object DedupOps {
     // candidate volume is bounded by token rarity, not bucket size. The
     // band join then skips pairs where BOTH docs are hot, so intra-bucket
     // enumeration among hot docs never happens; pairs with at most one
-    // hot doc meet only in ≤ maxBucket buckets (a bucket containing a
+    // hot doc meet only in ≤ cutoff buckets (a bucket containing a
     // cold doc is by definition not oversize).
-    val hotDocs = lshHotDocs(bands, maxBucket).materialize
+    //
+    // The cutoff is DERIVED from the measured bucket-load histogram
+    // (maxBucket = 0, the default) rather than hard-coded: a fixed
+    // cutoff tuned on a template-heavy corpus routes nearly everything
+    // through the exact prefix kernel on ANY corpus at scale, starving
+    // the banding layer even where banding is cheap and complete
+    // enough. Deriving from the histogram gives each corpus the widest
+    // cutoff whose total intra-bucket pair volume stays linear in the
+    // corpus — benign corpora keep all traffic in the banding layer,
+    // template-heavy ones degrade to the floor exactly as before.
+    val bucketSizes = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn")).materialize
+    val cutoff =
+      if (maxBucket > 0) maxBucket
+      else deriveMaxBucket(bucketSizes, numBands)
+    val hotDocs = bands.join(
+        bucketSizes.filter(col("bn") > cutoff).select("band", "bh"),
+        Seq("band", "bh"))
+      .select("doc_id").distinct().materialize
     val flagged = bands.join(
       hotDocs.withColumn("hot", lit(true)), Seq("doc_id"), "left")
       .withColumn("hot", coalesce(col("hot"), lit(false)))
@@ -197,6 +225,32 @@ object DedupOps {
     exactVerify(sets, cand, threshold)
       .unionAll(prefixFilterPairsOn(
         sets.join(hotDocs, Seq("doc_id"), "left_semi"), threshold))
+  }
+
+  /** Hot-bucket cutoff from the measured bucket-load histogram: the
+    * largest bucket size B such that enumerating EVERY bucket of size
+    * ≤ B emits at most `pairBudgetPerDoc` candidate pairs per corpus
+    * document — i.e. the widest cutoff that keeps the band join's
+    * output linear in the corpus, however the load is distributed.
+    * The histogram is tiny (one row per DISTINCT bucket size, ≤ a few
+    * thousand at any scale), so the collect is driver-cheap; the
+    * decision is deterministic given the corpus. `floor` preserves the
+    * round-6 behavior as the worst-case lower bound on template-heavy
+    * corpora, where near-every bucket is oversize. */
+  private[graft] def deriveMaxBucket(bucketSizes: DataFrame, numBands: Int,
+      pairBudgetPerDoc: Double = 16.0, floor: Int = 16): Int = {
+    val hist = bucketSizes.groupBy("bn").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // Σ sz·k = nDocs × numBands, so nDocs falls out of the histogram
+    val nDocs = hist.map { case (sz, k) => sz * k }.sum.toDouble / numBands
+    val budget = pairBudgetPerDoc * nDocs
+    var cum = 0.0
+    var cutoff = floor.toLong
+    hist.foreach { case (sz, k) =>
+      cum += k.toDouble * sz * (sz - 1) / 2.0
+      if (cum <= budget && sz > cutoff) cutoff = sz
+    }
+    math.min(cutoff, Int.MaxValue.toLong).toInt
   }
 
   /** Docs appearing in at least one LSH band bucket larger than
@@ -247,6 +301,34 @@ object DedupOps {
       SELECT doc_a, doc_b, round(jac, 4) AS jaccard
       FROM pairs
       WHERE jac >= 0.9
+      ORDER BY doc_a, doc_b"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- d12
+  /** d02 at threshold 0.8 — the query that oracle-exercises
+    * `lshBandingFor`'s SECOND regime: at t ≤ 0.84 the recall curve
+    * moves the banding to (32 bands, r = 2), a constant the spec suite
+    * re-derives (ScaleUpSpec) but no other catalog query executes.
+    * Same exact-Jaccard quadratic oracle as d02, so the whole LSH path
+    * at the lower threshold is hash-pinned, not just spec-pinned. */
+  val d12 = Q("d12_minhash_lsh_t08",
+    (s, dir) =>
+      nearDupPairs(s, dir, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        FROM w a JOIN w b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+      FROM pairs
+      WHERE jac >= 0.8
       ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------- d03
@@ -1028,5 +1110,5 @@ object DedupOps {
       ORDER BY vec_id"""))
 
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11)
+    d11, d12)
 }

@@ -79,6 +79,73 @@ class DedupHotBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("derived cutoff stays at the floor on the adversarial clique corpus; result is exact") {
+    // every clique bucket is 30 deep: enumerating them would blow the
+    // per-doc pair budget, so the histogram-derived cutoff must stay at
+    // the floor (16 < 30) and the default-path answer must still be the
+    // exact truth via hot-doc routing
+    val (bands, numBands) = operators.DedupOps.lshBands(spark, dir, 0.9)
+    val bs = bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+    val cutoff = operators.DedupOps.deriveMaxBucket(bs, numBands)
+    assert(cutoff < 30, s"cutoff $cutoff would enumerate the clique buckets")
+    assert(d02At(0) == truth) // 0 = derive (the d02 catalog default)
+  }
+
+  test("derived cutoff keeps a benign corpus entirely in the banding layer") {
+    // 1000 documents of 25 distinct pseudo-random words each (vocab 50k
+    // — essentially disjoint word sets), plus 50 injected near-dup pairs
+    // (24 shared + 1 changed word: J = 24/26 ≈ 0.923). No bucket grows
+    // past a handful, so the derived cutoff must exceed every bucket
+    // size: ZERO docs routed to the exact kernel, the banding layer
+    // carries all the traffic, and the answer still matches the exact
+    // quadratic truth.
+    import spark.implicits._
+    def wordsOf(i: Long): Seq[String] =
+      (0 until 25).map(j => "v" + (((i * 31 + j * 7919) * 2654435761L) % 50000))
+    val rows = (0L until 1000L).map { i =>
+      if (i % 20 == 19) // near-dup of the previous doc
+        (i, (wordsOf(i - 1).dropRight(1) :+ s"x$i").mkString(" "))
+      else (i, wordsOf(i).mkString(" "))
+    }
+    val d = Files.createTempDirectory("graft-benign").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(2).write.parquet(s"$d/documents.parquet")
+
+    val (bands, numBands) = operators.DedupOps.lshBands(spark, d, 0.9)
+    val bs = bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+    val cutoff = operators.DedupOps.deriveMaxBucket(bs, numBands)
+    val hot = operators.DedupOps.lshHotDocs(bands, cutoff).count()
+    assert(hot == 0, s"$hot docs were routed off the banding layer")
+
+    val got = operators.DedupOps.nearDupPairs(spark, d)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = rows.map { case (id, t) => (id, t.split(' ').toSet) }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.9
+    } yield (a, b, math.rint(j * 10000) / 10000.0)).toSet
+    assert(want.size == 50, s"fixture sanity: ${want.size} true pairs")
+    assert(got == want)
+  }
+
+  test("deriveMaxBucket raises the cutoff exactly while the pair budget holds") {
+    import spark.implicits._
+    // 50 buckets of 4 docs + 5 buckets of 40; numBands=4 → 100 docs.
+    // Enumerating the size-4 buckets costs 300 pairs, adding the
+    // size-40s costs 4200 total. Budget 50/doc (5000) admits both →
+    // cutoff 40; budget 10/doc (1000) admits only the small ones →
+    // floor (16, above the size-4 buckets).
+    val bs = ((0 until 50).map(i => (0, i.toLong, 4L)) ++
+      (0 until 5).map(i => (1, i.toLong, 40L)))
+      .toDF("band", "bh", "bn")
+    assert(operators.DedupOps.deriveMaxBucket(bs, 4, pairBudgetPerDoc = 50.0) == 40)
+    assert(operators.DedupOps.deriveMaxBucket(bs, 4, pairBudgetPerDoc = 10.0) == 16)
+  }
+
   test("lshHotDocs flags exactly the clique at cap 8 on a synthetic band frame") {
     import spark.implicits._
     // synthetic bands: docs 0-29 share bucket (0, 7); docs 100-102 share
