@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE-shaped upsert over immutable columnar storage — the dataset
@@ -155,6 +155,24 @@ object MergeOps {
     * rows were `added`, `removed`, or `changed` (any non-key column
     * differs) between versions. Unchanged rows are dropped — the diff of
     * a 100 TB snapshot pair is sized by the churn, not the corpus. */
+  /** Persist two snapshots as tables BUCKETED AND SORTED on the merge
+    * key and hand back their re-read frames — the storage layout a
+    * 100 TB CDC pipeline keeps snapshots in. Every join in this family
+    * (q35 upsert, q42 history, q43 diff) keys on the same column, so
+    * bucketed snapshots co-locate and the full-outer/outer joins run
+    * with ZERO Exchange: the snapshots shuffle once at WRITE time and
+    * never again, instead of once per query. BucketedJoinSpec pins the
+    * exchange-free plan and result parity with the unbucketed path. */
+  def bucketedSnapshots(s: SparkSession, oldDf: DataFrame, newDf: DataFrame,
+      key: String, buckets: Int, oldName: String, newName: String):
+      (DataFrame, DataFrame) = {
+    oldDf.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(oldName)
+    newDf.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(newName)
+    (s.table(oldName), s.table(newName))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
     require(oldDf.columns.sameElements(newDf.columns),
       s"schema mismatch: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")

@@ -7,32 +7,79 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in partition-sized batches.
   *
-  * No image/audio codecs exist in this environment, so the decode step is
-  * a clearly-marked deterministic fake ([[FakeDecoder]]) — the Spark-side
-  * contract (binary column + metadata struct + partition-wise batch
-  * processing + schema of extracted features) is the real, tested part,
-  * and a codec drop-in replaces one function.
+  * The decode step is a REAL image codec ([[ImageCodec]], JDK
+  * `javax.imageio` PNG): the documents table has no image column, so
+  * m02 first renders each doc into a small deterministic grayscale PNG
+  * (executor-side, same mapPartitions batch), then decodes those actual
+  * PNG bytes back into features. The Spark-side contract — binary
+  * column + metadata struct + partition-wise batch processing + schema
+  * of extracted features — is exercised with real codec init cost and
+  * real byte streams; swapping PNG for JPEG/webp/audio is one function.
   *
   * Scale notes: binary payloads ride through Tungsten as byte arrays —
-  * no base64 inflation; the decoder runs via mapPartitions so per-batch
-  * setup cost (a real codec's init) amortizes across a whole partition,
-  * exactly how a Pandas-UDF batch would behave in PySpark.
+  * no base64 inflation; the codec runs via mapPartitions so per-batch
+  * setup cost amortizes across a whole partition, exactly how a
+  * Pandas-UDF batch would behave in PySpark.
   */
 object MultimodalOps {
 
-  /** Deterministic stand-in for an image decoder: derives (width, height,
-    * mean byte, format tag) from the payload bytes. A real implementation
-    * would decode the image here; the signature is the contract. */
-  object FakeDecoder {
+  /** JDK-only PNG codec. Encoding is deterministic in the PIXELS (the
+    * PNG byte stream itself may differ across encoder versions, which is
+    * why features — not payload digests — are what tests pin): a seed
+    * byte array is md5-expanded into a w×h grayscale raster. Decoding is
+    * a true `ImageIO.read` over the PNG bytes — a real parse of a real
+    * image container, not arithmetic on the input. */
+  object ImageCodec {
+    java.lang.System.setProperty("java.awt.headless", "true")
+
     final case class Features(width: Int, height: Int, mean_byte: Double, format: String)
+
+    /** Render a seed into a tiny grayscale PNG (8–31 px per side). */
+    def encodePng(seed: Array[Byte]): Array[Byte] = {
+      val w = 8 + (seed.headOption.map(b => b & 0xFF).getOrElse(0) % 24)
+      val h = 8 + (seed.lastOption.map(b => b & 0xFF).getOrElse(0) % 24)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var block = md.digest(seed)
+      var bi = 0
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (bi == block.length) { block = md.digest(block); bi = 0 }
+          raster.setSample(x, y, 0, block(bi) & 0xFF)
+          bi += 1
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: parse the PNG container, read back raster stats. */
     def decode(payload: Array[Byte]): Features = {
-      // ??? real codec goes here — everything below is a deterministic fake
-      val w = 16 + (math.abs(payload.headOption.getOrElse(0: Byte).toInt) % 64)
-      val h = 16 + (math.abs(payload.lastOption.getOrElse(0: Byte).toInt) % 64)
-      val mean = if (payload.isEmpty) 0.0
-        else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
-      Features(w, h, math.round(mean * 100) / 100.0,
-        if (payload.length % 2 == 0) "png" else "jpeg")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += raster.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum.toDouble / (w.toLong * h)
+      Features(w, h, math.round(mean * 100) / 100.0, "png")
     }
   }
 
@@ -62,8 +109,11 @@ object MultimodalOps {
 
   // ---------------------------------------------------------------- m02
   /** Batch feature extraction over binary payloads via mapPartitions —
-    * the multimodal decode pipeline shape. Fake decoder → rows-only check;
-    * MultimodalSpec pins the exact values. */
+    * the multimodal decode pipeline shape, with a REAL `javax.imageio`
+    * PNG decode. Each doc's text bytes seed a deterministic rendered
+    * PNG; the decode stage parses those actual PNG bytes. Cross-engine
+    * oracle stays rows-only (DuckDB has no image codec); OpsGoldenSpec
+    * pins determinism and the round-trip against the raster truth. */
   val m02 = Q("m02_decode_features",
     (s, dir) => {
       val spark = s
@@ -73,9 +123,11 @@ object MultimodalOps {
           struct(col("source"), col("lang")).as("meta"))
         .as[(Long, Array[Byte], (String, String))]
       src.mapPartitions { it =>
-        // one decoder per partition: real codecs have per-process init cost
-        it.map { case (id, payload, (source, _)) =>
-          val f = FakeDecoder.decode(payload)
+        // one codec per partition: ImageIO plugin lookup + headless AWT
+        // init happen once here, amortized across the whole batch
+        it.map { case (id, seed, (source, _)) =>
+          val png = ImageCodec.encodePng(seed) // real PNG bytes
+          val f = ImageCodec.decode(png)       // real container parse
           (id, source, f.width, f.height, f.mean_byte, f.format)
         }
       }.toDF("doc_id", "source", "width", "height", "mean_byte", "format")

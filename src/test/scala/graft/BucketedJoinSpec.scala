@@ -42,6 +42,35 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
   }
 
+  test("bucketed snapshots make the q43 full-outer diff exchange-free") {
+    import graft.operators.MergeOps
+    // the q43 fixture shapes: v1 drops every 7th order, v2 drops every
+    // 5th and reprices every 3rd — all three diff classes present
+    val orders = Tables.df(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val v2 = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+
+    val (b1, b2) = MergeOps.bucketedSnapshots(spark, v1, v2,
+      "o_orderkey", 4, "snap_v1_b", "snap_v2_b")
+    val diff = MergeOps.snapshotDiff(b1, b2, "o_orderkey")
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed full-outer diff still shuffles:\n$plan")
+
+    // and the exchange-free plan computes the same diff as the plain one
+    val got = diff.collect().map(_.toSeq).toSet
+    val want = MergeOps.snapshotDiff(v1, v2, "o_orderkey")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+
+    spark.sql("DROP TABLE snap_v1_b"); spark.sql("DROP TABLE snap_v2_b")
+  }
+
   test("repartitioned dataframes reuse partitioning across aggregations") {
     // pre-partitioning by the grouping key removes the aggregation exchange
     val li = Tables.df(spark, "/root/testdata/sf0.001", "lineitem")

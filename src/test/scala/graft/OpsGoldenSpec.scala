@@ -263,12 +263,45 @@ class OpsGoldenSpec extends AnyFunSuite {
     assert(perDoc == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
   }
 
-  test("m02 fake decode is deterministic and schema-stable") {
+  test("m02 real PNG decode is deterministic and round-trips the raster") {
     val rows = Queries.byName("m02_decode_features").build(spark, dir).collect()
     assert(rows.length == 6)
     val r0 = rows.find(_.getLong(0) == 0L).get
     val r1 = rows.find(_.getLong(0) == 1L).get
-    // identical payloads → identical features
+    // identical payloads → identical features, across partitions
     assert(r0.getInt(2) == r1.getInt(2) && r0.getDouble(4) == r1.getDouble(4))
+    // and the features must equal an independent local encode+decode of
+    // the same seed — i.e. ImageIO really parsed the PNG we rendered
+    val seed = "the quick brown fox jumps over the lazy dog again and again"
+      .getBytes("UTF-8")
+    val f = graft.operators.MultimodalOps.ImageCodec.decode(
+      graft.operators.MultimodalOps.ImageCodec.encodePng(seed))
+    assert(r0.getInt(2) == f.width && r0.getInt(3) == f.height &&
+      r0.getDouble(4) == f.mean_byte && r0.getString(5) == "png")
+    assert(f.width >= 8 && f.width < 32 && f.height >= 8 && f.height < 32)
+  }
+
+  test("ImageCodec decode rejects non-image bytes and round-trips pixel truth") {
+    import graft.operators.MultimodalOps.ImageCodec
+    // pixel-level truth: decode(encode(seed)) must reproduce the exact
+    // md5-expanded raster mean, PNG grayscale being lossless
+    val seed = Array[Byte](7, 42, -3, 99)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = 8 + ((seed.head & 0xFF) % 24)
+    val h = 8 + ((seed.last & 0xFF) % 24)
+    var block = md.digest(seed)
+    var bi = 0
+    var sum = 0L
+    (0 until w * h).foreach { _ =>
+      if (bi == block.length) { block = md.digest(block); bi = 0 }
+      sum += block(bi) & 0xFF
+      bi += 1
+    }
+    val wantMean = math.round(sum.toDouble / (w * h) * 100) / 100.0
+    val f = ImageCodec.decode(ImageCodec.encodePng(seed))
+    assert((f.width, f.height, f.mean_byte) == (w, h, wantMean))
+    intercept[Exception] {
+      ImageCodec.decode("definitely not a png".getBytes("UTF-8"))
+    }
   }
 }
