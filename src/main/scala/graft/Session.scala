@@ -17,6 +17,18 @@ object Session {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Decouple the BIG-shuffle width from the core count: AQE plans
+      // every exchange at `initialPartitionNum` and then coalesces by
+      // observed bytes, so a 10-row group-by still collapses to a few
+      // tasks while a 500M-row candidate-verify shuffle keeps 8×cores
+      // of width instead of being capped at `shuffle.partitions`. This
+      // was the round-7 sf1.0 finding: with both pinned to cores, the
+      // heavy dedup/graph shuffles ran 32-wide at 10× data and went
+      // superlinear from per-task spill (d09 23×, g01 18× at 10× data).
+      // On a real cluster set this ~2-3× total executor cores.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cpus.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -12,10 +12,18 @@ object TimeQuery {
     val runs = if (args.length > 2) args(2).toInt else 1
     val spark = Session.get("graft-timequery")
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_COUNT=1: also report output rows (scale-evidence
+    // ledgering needs rows/sec, not just seconds — d09's output volume
+    // is itself quadratic in this corpus)
+    val wantCount = sys.env.contains("SPARK_GRAFT_COUNT")
     (0 until runs).foreach { i =>
       val t0 = System.nanoTime()
-      q.build(spark, dir).write.mode("overwrite").format("noop").save()
-      println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val rows =
+        if (wantCount) q.build(spark, dir).count()
+        else { q.build(spark, dir).write.mode("overwrite").format("noop").save(); -1L }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val suffix = if (wantCount) f" rows=$rows" else ""
+      println(f"[time] ${q.name} run$i: $secs%.2f s$suffix")
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.build(spark, dir).explain("formatted")

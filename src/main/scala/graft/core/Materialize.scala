@@ -50,13 +50,18 @@ object Materialize {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private[graft] def mode(s: SparkSession): String =
-    s.conf.get(ModeKey, "local")
+    s.conf.getOption(ModeKey)
+      // spark.-prefixed alias so the mode can be set from spark-submit /
+      // -D system properties (SparkConf only forwards spark.* keys)
+      .orElse(s.conf.getOption(s"spark.$ModeKey"))
+      .getOrElse("local")
 
   /** Resolved scratch base for this application (created lazily by the
     * first reliable write; registered for shutdown deletion). */
   private[graft] def scratchBase(s: SparkSession): String = {
-    val base = s.conf.get(ScratchKey,
-      s"${System.getProperty("java.io.tmpdir")}/graft-scratch") +
+    val base = s.conf.getOption(ScratchKey)
+      .orElse(s.conf.getOption(s"spark.$ScratchKey"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-scratch") +
       "/" + s.sparkContext.applicationId
     registerCleanup(s, base)
     base

@@ -81,10 +81,17 @@ object GraphOps {
     // (Σ C(outdeg, 2) rows ≫ edges; dense dedup cliques make it ~50×
     // the edge count at sf0.1), and the explosion runs in the join
     // stage, on however many tasks own the apex partitions. Pinning
-    // hash(src, numShufflePartitions) keeps all cores on the explosion
-    // and co-partitions both join sides.
-    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val o = degreeOriented(edges.materialize)
+    // hash(src, N) keeps all cores on the explosion and co-partitions
+    // both join sides. N scales with the edge count (~50k edges →
+    // ~2.5M wedge rows per task), floored at `shuffle.partitions` so
+    // small graphs still use every core — a fixed N = cores made the
+    // sf1.0 wedge stage run 32-wide over a ~500M-row explosion.
+    val e = edges.materialize
+    val m = e.count()
+    val conf = edges.sparkSession.sessionState.conf
+    val nPart = math.min(4096L,
+      math.max(conf.numShufflePartitions.toLong, m / 50000L)).toInt
+    val o = degreeOriented(e)
       .repartition(nPart, col("src")).materialize
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.Session
+import org.apache.spark.sql.functions._
+
+/** Generate a BENIGN near-dup corpus at scale: documents with
+  * essentially disjoint word sets (25 pseudo-random words from a 50k
+  * vocab) plus a 5% injected near-dup rate (every 20th doc copies its
+  * predecessor with one word changed, J = 24/26 ≈ 0.923). This is the
+  * opposite regime from the template-heavy sf* documents fixture: LSH
+  * buckets stay shallow, so the derived hot-bucket cutoff should keep
+  * the whole corpus in the banding layer (DedupHotBucketSpec pins the
+  * small-scale version; `graft.tools.HotFraction` measures it here).
+  * Everything is expression-space — `spark.range` + hash arithmetic, no
+  * driver loops, no rand() — so the corpus is deterministic and the
+  * generator itself scales.
+  *
+  * Usage: `tools/run.sh graft.tools.BenignCorpus <dstDir> <nDocs>`
+  */
+object BenignCorpus {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenignCorpus <dstDir> <nDocs>")
+    val dst = args(0)
+    val nDocs = args(1).toLong
+    val spark = Session.get("graft-benign-corpus")
+    try {
+      // base words of doc i, position j: v<hash(i, j) mod 50000>
+      def words(idExpr: String) =
+        s"transform(sequence(0, 23), j -> concat('v', pmod(xxhash64($idExpr * 31 + j * 7919), 50000)))"
+      val df = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 20 === 19,
+            // near-dup of the previous doc: first 24 base words shared,
+            // one fresh replica-unique word appended
+            expr(s"array_join(concat(${words("(id - 1)")}, array(concat('x', id))), ' ')"))
+            .otherwise(
+              expr(s"array_join(concat(${words("id")}, array(concat('w', id))), ' ')"))
+            .as("text"))
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("benign"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"[benign] $nDocs docs written to $dst")
+    } finally spark.stop()
+  }
+}

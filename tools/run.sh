@@ -10,7 +10,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+exec java $ADD_OPENS $SPARK_GRAFT_JAVA_OPTS \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
