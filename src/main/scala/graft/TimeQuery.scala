@@ -16,7 +16,16 @@ object TimeQuery {
     // ledgering needs rows/sec, not just seconds — d09's output volume
     // is itself quadratic in this corpus)
     val wantCount = sys.env.contains("SPARK_GRAFT_COUNT")
+    // SPARK_GRAFT_STAGESTATS=1: per-stage task/cpu/gc/shuffle/spill
+    // breakdown after the LAST run (scale diagnosis: CPU- vs spill- vs
+    // IO-bound, which wall-clock alone can't distinguish)
+    val stats = if (sys.env.contains("SPARK_GRAFT_STAGESTATS")) {
+      val l = new graft.tools.StageStats
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     (0 until runs).foreach { i =>
+      if (i == runs - 1) stats.foreach(_.reset()) // keep only the warm run
       val t0 = System.nanoTime()
       val rows =
         if (wantCount) q.build(spark, dir).count()
@@ -27,6 +36,7 @@ object TimeQuery {
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.build(spark, dir).explain("formatted")
+    stats.foreach(_.report())
     spark.stop()
   }
 }

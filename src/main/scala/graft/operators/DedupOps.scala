@@ -193,11 +193,25 @@ object DedupOps {
     val cutoff =
       if (maxBucket > 0) maxBucket
       else deriveMaxBucket(bucketSizes, numBands)
-    val hotDocs = bands.join(
-        bucketSizes.filter(col("bn") > cutoff).select("band", "bh"),
-        Seq("band", "bh"))
+    val oversize = bucketSizes.filter(col("bn") > cutoff)
+      .select("band", "bh").materialize
+    val hotDocs = bands.join(oversize, Seq("band", "bh"))
       .select("doc_id").distinct().materialize
-    val flagged = bands.join(
+    // Drop oversize buckets from the join INPUT, not its output: every
+    // doc in an oversize bucket is by definition hot, so all its
+    // intra-bucket pairs are both-hot — but a post-join filter still
+    // pays the B² enumeration (a 14k-doc bucket = ~98M joined rows,
+    // each evaluating the 16-way firstMatch chain; measured ~2,500
+    // CPU-seconds at sf1.0 on the template corpus, THE d02 scale
+    // bottleneck). Pairs with at least one cold member meet only in
+    // ≤ cutoff buckets (a bucket holding a cold doc cannot be
+    // oversize), so the anti-join loses no pair, and the band join's
+    // match volume is ≤ pairBudgetPerDoc × nDocs by construction of
+    // the derived cutoff. The hot flag below still guards both-HOT
+    // pairs meeting in SMALL buckets (those belong to the prefix
+    // kernel, which emits them exactly once).
+    val smallBands = bands.join(oversize, Seq("band", "bh"), "left_anti")
+    val flagged = smallBands.join(
       hotDocs.withColumn("hot", lit(true)), Seq("doc_id"), "left")
       .withColumn("hot", coalesce(col("hot"), lit(false)))
     // first-matching band as a CASE WHEN chain over the 16 static element

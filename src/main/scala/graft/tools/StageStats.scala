@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+import scala.collection.mutable
+
+/** Per-stage metrics collector for scale diagnosis: wall, task-time sum,
+  * GC, shuffle read/write, memory+disk spill, peak task count. Attach
+  * before the measured action, then `report()` prints the top stages by
+  * task-time — the answer to "is this query CPU-, spill-, or
+  * IO-bound?" that wall-clock alone can't give.
+  */
+class StageStats extends SparkListener {
+
+  case class Agg(var name: String = "", var wallMs: Long = 0,
+    var taskMs: Long = 0, var gcMs: Long = 0, var cpuMs: Long = 0,
+    var shuffleReadB: Long = 0, var shuffleWriteB: Long = 0,
+    var memSpillB: Long = 0, var diskSpillB: Long = 0,
+    var tasks: Int = 0, var inputB: Long = 0)
+
+  private val stages = mutable.Map.empty[Int, Agg]
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+    val a = stages.getOrElseUpdate(t.stageId, Agg())
+    val m = t.taskMetrics
+    if (m != null) {
+      a.taskMs += m.executorRunTime
+      a.gcMs += m.jvmGCTime
+      a.cpuMs += m.executorCpuTime / 1000000L
+      a.shuffleReadB += m.shuffleReadMetrics.totalBytesRead
+      a.shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+      a.memSpillB += m.memoryBytesSpilled
+      a.diskSpillB += m.diskBytesSpilled
+      a.inputB += m.inputMetrics.bytesRead
+      a.tasks += 1
+    }
+  }
+
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    synchronized {
+      val info = s.stageInfo
+      val a = stages.getOrElseUpdate(info.stageId, Agg())
+      a.name = info.name.takeWhile(_ != '\n').take(60)
+      a.wallMs = (for {c <- info.completionTime; b <- info.submissionTime}
+        yield c - b).getOrElse(0L)
+    }
+
+  private def gb(b: Long) = f"${b / 1e9}%.1f"
+
+  /** Print the top-N stages by summed task time, then totals. */
+  def report(top: Int = 12): Unit = synchronized {
+    println("[stagestats] stage tasks wall_s task_s cpu_s gc_s " +
+      "shufR_GB shufW_GB spillMem_GB spillDisk_GB input_GB name")
+    stages.toSeq.sortBy(-_._2.taskMs).take(top).foreach { case (id, a) =>
+      println(f"[stagestats] $id%5d ${a.tasks}%5d ${a.wallMs / 1e3}%6.1f " +
+        f"${a.taskMs / 1e3}%7.1f ${a.cpuMs / 1e3}%7.1f ${a.gcMs / 1e3}%5.1f " +
+        f"${gb(a.shuffleReadB)}%8s ${gb(a.shuffleWriteB)}%8s " +
+        f"${gb(a.memSpillB)}%11s ${gb(a.diskSpillB)}%12s " +
+        f"${gb(a.inputB)}%8s ${a.name}")
+    }
+    val t = stages.values
+    println(f"[stagestats] TOTAL stages=${stages.size} " +
+      f"task_s=${t.map(_.taskMs).sum / 1e3}%.1f cpu_s=${t.map(_.cpuMs).sum / 1e3}%.1f " +
+      f"gc_s=${t.map(_.gcMs).sum / 1e3}%.1f " +
+      f"shufR_GB=${gb(t.map(_.shuffleReadB).sum)} " +
+      f"shufW_GB=${gb(t.map(_.shuffleWriteB).sum)} " +
+      f"spillDisk_GB=${gb(t.map(_.diskSpillB).sum)}")
+  }
+
+  def reset(): Unit = synchronized { stages.clear() }
+}
