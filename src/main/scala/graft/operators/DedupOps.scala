@@ -301,6 +301,16 @@ object DedupOps {
     (s, dir) =>
       nearDupPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        // materialized BEFORE the deterministic output sort: the sort's
+        // RangePartitioning bounds come from a driver sampling pass that
+        // re-executes everything between the last exchange and the sort
+        // — here the whole narrow verify tail (broadcast set joins + the
+        // Jaccard merge over every candidate), i.e. the expensive half
+        // of the query ran TWICE (measured at sf1.0: twin ~55-CPU-s AQE
+        // stages with near-identical task profiles). Parking the result
+        // in cheap blocks makes the sampling pass a re-read, not a
+        // re-compute. Same pattern on every heavy pair query below.
+        .materialize
         .orderBy("doc_a", "doc_b"),
     Some("""
       WITH w AS (
@@ -329,6 +339,7 @@ object DedupOps {
     (s, dir) =>
       nearDupPairs(s, dir, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .materialize // sampling-pass guard (see d02)
         .orderBy("doc_a", "doc_b"),
     Some("""
       WITH w AS (
@@ -436,10 +447,20 @@ object DedupOps {
             "(x, i) -> concat(x, ' ', element_at(w, i + 2)))), g -> xxhash64(g)))")
           .as("gh"))
         .withColumn("sz", size(col("gh")))
+      // The non-equi size-band join can only be a broadcast nested loop,
+      // which PRESERVES the streamed side's partitioning — and the doc
+      // scan is as wide as the fixture's file count (4 at sf1.0), so the
+      // quadratic merge work ran 4-wide on 16 cores (measured: ~1,270
+      // CPU-s at 4-way parallelism = the whole query). One explicit
+      // round-robin repartition of the streamed side (a few MB of hashed
+      // gram sets) puts every core on the merge; the build side is
+      // broadcast-hinted so the planner cannot flip the streamed side
+      // back to the narrow scan.
+      val nPart = s.sessionState.conf.numShufflePartitions
       val a = grams.select(col("doc_id").as("doc_a"), col("gh").as("ga"),
-        col("sz").as("sza"))
-      val b = grams.select(col("doc_id").as("doc_b"), col("gh").as("gb"),
-        col("sz").as("szb"))
+        col("sz").as("sza")).repartition(nPart)
+      val b = broadcast(grams.select(col("doc_id").as("doc_b"),
+        col("gh").as("gb"), col("sz").as("szb")))
       // budgeted verify (the d09 kernel): J ≥ t needs |A∩B| ≥
       // t·(|A|+|B|)/(1+t), i.e. at most |A| − ⌈that⌉ A-misses — the
       // merge aborts on the first over-budget miss, so the mostly-
@@ -458,6 +479,7 @@ object DedupOps {
           (col("sza") + col("szb") - col("icnt")))
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .materialize // sampling-pass guard (see d02)
         .orderBy("doc_a", "doc_b")
     },
     Some("""
@@ -487,8 +509,12 @@ object DedupOps {
     (s, dir) => {
       val e = Tables.df(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // same narrow-BNLJ widening as d04: the non-equi join streams one
+      // side at the scan's file-count width; repartition puts every core
+      // on the quadratic cosine scan, broadcast pins the build side
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val b = broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb")))
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
         .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
@@ -728,7 +754,23 @@ object DedupOps {
     // kernel) runs once per side, in racing parallel stages (measured
     // ~2× the stage time at sf1.0). Eager localCheckpoint, the d02
     // discipline.
-    val pref = rarityPrefix(sets, threshold).materialize
+    val pref0 = rarityPrefix(sets, threshold).materialize
+    // The explicit-N repartition on the posting-list key is load-bearing
+    // (the g01 wedge-apex lesson): the pref frame is only a few MB, so
+    // AQE coalesces its exchange by input bytes — but the self-join
+    // EXPLODES (Σ C(df_h, 2) candidate rows ≫ pref rows), and the
+    // explosion runs on however many tasks own the coalesced partitions
+    // (measured at sf1.0: the d02 hot-set kernel join ran 2-wide,
+    // 26 s/task, ~a third of the query's wall). Pinning hash(h, N) with
+    // N scaled to the pref row count keeps every core on the explosion;
+    // both aliases share the one exchange (ReusedExchange), and at
+    // bench SF the clamp floors N at shuffle.partitions — the plan the
+    // headline numbers were measured on. The count is a sub-second scan
+    // of the just-checkpointed blocks.
+    val conf = pref0.sparkSession.sessionState.conf
+    val nPart = math.min(4096L, math.max(conf.numShufflePartitions.toLong,
+      pref0.count() / 10000L)).toInt
+    val pref = pref0.repartition(nPart, col("h"))
     pref.alias("x").join(pref.alias("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
@@ -802,6 +844,7 @@ object DedupOps {
     (s, dir) =>
       prefixFilterPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .materialize // sampling-pass guard (see d02)
         .orderBy("doc_a", "doc_b"),
     Some("""
       WITH w AS (
@@ -981,6 +1024,7 @@ object DedupOps {
       containmentPairs(s, dir)
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 4).as("containment"))
+        .materialize // sampling-pass guard (see d02)
         .orderBy("doc_a", "doc_b"),
     Some("""
       WITH w AS (
@@ -1026,6 +1070,7 @@ object DedupOps {
           pmod(col("doc_id"), lit(10)) === 7, 0.9)
         .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
           round(col("jac"), 4).as("jaccard"))
+        .materialize // sampling-pass guard (see d02)
         .orderBy("doc_new", "doc_old"),
     Some("""
       WITH w AS (

@@ -16,7 +16,7 @@ class StageStats extends SparkListener {
     var taskMs: Long = 0, var gcMs: Long = 0, var cpuMs: Long = 0,
     var shuffleReadB: Long = 0, var shuffleWriteB: Long = 0,
     var memSpillB: Long = 0, var diskSpillB: Long = 0,
-    var tasks: Int = 0, var inputB: Long = 0)
+    var tasks: Int = 0, var inputB: Long = 0, var maxTaskMs: Long = 0)
 
   private val stages = mutable.Map.empty[Int, Agg]
 
@@ -33,6 +33,7 @@ class StageStats extends SparkListener {
       a.diskSpillB += m.diskBytesSpilled
       a.inputB += m.inputMetrics.bytesRead
       a.tasks += 1
+      if (m.executorRunTime > a.maxTaskMs) a.maxTaskMs = m.executorRunTime
     }
   }
 
@@ -49,11 +50,12 @@ class StageStats extends SparkListener {
 
   /** Print the top-N stages by summed task time, then totals. */
   def report(top: Int = 12): Unit = synchronized {
-    println("[stagestats] stage tasks wall_s task_s cpu_s gc_s " +
+    println("[stagestats] stage tasks wall_s task_s maxtask_s cpu_s gc_s " +
       "shufR_GB shufW_GB spillMem_GB spillDisk_GB input_GB name")
     stages.toSeq.sortBy(-_._2.taskMs).take(top).foreach { case (id, a) =>
       println(f"[stagestats] $id%5d ${a.tasks}%5d ${a.wallMs / 1e3}%6.1f " +
-        f"${a.taskMs / 1e3}%7.1f ${a.cpuMs / 1e3}%7.1f ${a.gcMs / 1e3}%5.1f " +
+        f"${a.taskMs / 1e3}%7.1f ${a.maxTaskMs / 1e3}%9.1f " +
+        f"${a.cpuMs / 1e3}%7.1f ${a.gcMs / 1e3}%5.1f " +
         f"${gb(a.shuffleReadB)}%8s ${gb(a.shuffleWriteB)}%8s " +
         f"${gb(a.memSpillB)}%11s ${gb(a.diskSpillB)}%12s " +
         f"${gb(a.inputB)}%8s ${a.name}")
