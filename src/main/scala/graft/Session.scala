@@ -32,8 +32,11 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects by default; read as epoch-nano longs and convert in Tables.
+      // Historic testdata wrote events.ts as TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects by default; with this conf a NANOS column reads
+      // as an epoch-nano long, which Tables.canonicalTs then converts. Current
+      // testdata is TIMESTAMP(MICROS); keeping the conf keeps legacy files
+      // readable (TsEncodingSpec pins all encodings).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the sandboxed filesystem stalls whole-JVM for >10s at times, which
       // would kill the default 10s executor heartbeat in local mode

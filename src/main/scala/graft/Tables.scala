@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
   *
@@ -15,14 +16,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Canonicalize the events `ts` column to [[TimestampType]] regardless of
+    * how the producer encoded it. On a 100 TB lake upstream writers change
+    * encodings without notice; a loader pinned to one physical type silently
+    * severs every downstream query when they do (that exact failure took out
+    * 15 queries in round 7 when testdata switched NANOS→micros). Observed
+    * encodings, each pinned by TsEncodingSpec:
+    *   - epoch-nano INT64 (legacy TIMESTAMP(NANOS) surfaced as long via
+    *     spark.sql.legacy.parquet.nanosAsLong, or a raw long column)
+    *     → truncate to micros;
+    *   - TIMESTAMP(isAdjustedToUTC=false) → Spark TimestampNTZType → cast;
+    *     with the session timezone fixed to UTC (Session.scala) the cast is
+    *     wall-clock-preserving, matching DuckDB's naive CAST(ts AS TIMESTAMP);
+    *   - TIMESTAMP(isAdjustedToUTC=true) → already TimestampType → pass.
+    * Anything else fails loudly rather than producing silently-shifted times.
+    */
+  private[graft] def canonicalTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        sys.error(s"events.ts has unsupported type $other; expected " +
+          "epoch-nano long, timestamp, or timestamp_ntz")
+    }
+
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ts is parquet TIMESTAMP(NANOS) → read as epoch-nano long
-      // (spark.sql.legacy.parquet.nanosAsLong, set in Session) and
-      // truncate to microseconds, matching DuckDB's CAST(ts AS TIMESTAMP).
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") canonicalTs(raw) else raw
   }
 
   /** TPC-H money columns, per table, for the exact-decimal read path. */

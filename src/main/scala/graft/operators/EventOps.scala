@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * plans run under Structured Streaming — see graft.streaming).
   *
   * The reference has no time/stream concept at all (SURVEY §2.9), so this
-  * whole family is extension surface. Timestamps are parquet NANOS read as
-  * micros (see Tables); every output renders times as strings so the
-  * oracle compare is timezone-representation-proof.
+  * whole family is extension surface. Timestamps arrive canonicalized to
+  * TimestampType by Tables.canonicalTs whatever the parquet encoding; every
+  * output renders times as strings so the oracle compare is
+  * timezone-representation-proof.
   *
   * Scale notes: e01/e03 are single-shuffle hash aggregates on bounded
   * keys. e02's sessionization is the standard lag→flag→running-sum, all

@@ -91,9 +91,9 @@ object ScaleUp {
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem", 16)
 
-    // events: ts arrives as an epoch-nano long (nanosAsLong, see
-    // Session) and is written back as a plain int64 — Tables.df's
-    // `timestamp_micros(ts div 1000)` reads both identically
+    // events: ts is passed through unchanged, so the scaled copy keeps
+    // whatever encoding the source had (int64 nanos or timestamp) —
+    // Tables.canonicalTs dispatches on the observed type either way
     val events = raw("events")
     val strideE = stride(events, "event_id")
     val strideU = stride(events, "user_id")
