@@ -552,16 +552,21 @@ object DedupOps {
     * rounds on any graph — propagation stays the cheap common case, the
     * doubling algorithm the guarantee. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
-      crossoverAfter: Int = 8): DataFrame = {
+      crossoverAfter: Int = 8, symAdj: Option[DataFrame] = None): DataFrame = {
     // materialize the (usually expensive) edge plan ONCE — without this
     // every round's join re-runs the upstream pipeline that produced the
     // pairs (for dedup graphs: the whole prefix-filter + verify kernel),
     // turning an O(diameter)-round loop into O(diameter) corpus passes
     // (measured 30 s → 8 s on p01 at sf0.1). The pair graph is tiny
     // relative to the corpus, so this is the 100 TB shape too.
-    val sym = edges.toDF("src", "dst")
+    // `symAdj`, when given, is an already-symmetrized (src, dst) frame
+    // read from storage BUCKETED on src ([[sharedAdjacency]]) — it is
+    // its own materialization and its bucketing makes the per-round
+    // edge⋈label join exchange-free on the edge side, so it is used
+    // as-is (a localCheckpoint would erase the bucketed partitioning).
+    val sym = symAdj.getOrElse(edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
-      .materialize
+      .materialize)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .materialize
@@ -681,7 +686,8 @@ object DedupOps {
     * same (quadratic, exact) pair set. */
   val d06 = Q("d06_dedup_clusters",
     (s, dir) =>
-      connectedComponents(sharedPairGraph(s, dir).select("doc_a", "doc_b"))
+      connectedComponents(sharedPairGraph(s, dir).select("doc_a", "doc_b"),
+          symAdj = Some(sharedAdjacency(s, dir)))
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id"),
     Some("""
@@ -834,6 +840,46 @@ object DedupOps {
       p
     })
     s.read.parquet(path)
+  }
+
+  /** Symmetric adjacency of [[sharedPairGraph]], persisted ONCE as a
+    * table BUCKETED AND SORTED on `src` — the graph-side twin of
+    * `MergeOps.bucketedSnapshots`. The CC/LPA/triangle consumers all
+    * open their work with a shuffle keyed on one endpoint (CC's
+    * per-round edge⋈label join, LPA's vote join, the triangle degree
+    * aggregate); reading the adjacency pre-bucketed on that key makes
+    * the adjacency side of every one of those EXCHANGE-FREE — the 2m
+    * edge rows shuffle once at write time and never again, instead of
+    * once per consumer per round (BucketedAdjacencySpec pins the plans
+    * and result parity). Bucket count follows the g01 wedge-width rule
+    * (edge-count-derived, floored at shuffle.partitions, capped 4096)
+    * so the downstream explosion stages inherit a sane width too.
+    * Memoized per (application, input fingerprint, threshold), exactly
+    * like the pair graph itself. */
+  private val adjMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
+
+  private[graft] def sharedAdjacency(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val fp = inputFingerprint(s, dir)
+    val key = (s.sparkContext.applicationId, fp, threshold)
+    val table = adjMemo.getOrElseUpdate(key, {
+      val name = s"graft_adj_${fp.take(12)}_${(threshold * 100).round}"
+      val pairs = sharedPairGraph(s, dir, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val m = pairs.count()
+      val nBuckets = math.min(4096L, math.max(
+        s.sessionState.conf.numShufflePartitions.toLong, 2 * m / 50000L)).toInt
+      val sym = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // pre-shuffle on the bucket key so each task owns whole buckets
+      // (one file per bucket, not one per task×bucket)
+      sym.repartition(nBuckets, col("src"))
+        .write.mode("overwrite").bucketBy(nBuckets, "src").sortBy("src")
+        .saveAsTable(name)
+      name
+    })
+    s.table(table)
   }
 
   private[graft] def prefixFilterPairsOn(sets: DataFrame,

@@ -49,6 +49,24 @@ object GraphOps {
     val e = canonical(edges)
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    orientByDegree(e, deg)
+  }
+
+  /** [[degreeOriented]] fed from a pre-symmetrized adjacency BUCKETED on
+    * `src` (DedupOps.sharedAdjacency): each node's degree is its out-row
+    * count in the symmetric frame, so the degree aggregate runs with
+    * ZERO Exchange on the bucketed scan, and the canonical edge list is
+    * the same scan filtered to src < dst — whose join back to the
+    * degrees (both hash-clustered on the same key) is exchange-free
+    * too. Only the second degree attach (keyed on the other endpoint)
+    * still shuffles. */
+  def degreeOrientedFromAdj(adj: DataFrame): DataFrame = {
+    val deg = adj.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val e = adj.filter(col("src") < col("dst")).toDF("a", "b")
+    orientByDegree(e, deg)
+  }
+
+  private def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
     val lowerA = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("a") < col("b"))
     e.join(deg.toDF("a", "deg_a"), "a")
@@ -67,7 +85,8 @@ object GraphOps {
     * point outward-in); the wedge stage shrinks from Σ deg(v)² to
     * O(m^1.5) total. Same two-equi-join shape, same shuffles, no new
     * operator — just a better orientation. */
-  def triangleCountDegreeOrdered(edges: DataFrame): DataFrame = {
+  def triangleCountDegreeOrdered(edges: DataFrame,
+      adj: Option[DataFrame] = None): DataFrame = {
     // materialize the oriented edge frame ONCE: it feeds both wedge
     // sides and the closure join, and `degreeOriented` itself reads its
     // input twice (degree agg + join) — without this each of the ~4
@@ -86,12 +105,19 @@ object GraphOps {
     // ~2.5M wedge rows per task), floored at `shuffle.partitions` so
     // small graphs still use every core — a fixed N = cores made the
     // sf1.0 wedge stage run 32-wide over a ~500M-row explosion.
-    val e = edges.materialize
-    val m = e.count()
+    // with a bucketed adjacency the edge frame is a storage scan (its
+    // own materialization) and the degree stage is exchange-free — see
+    // [[degreeOrientedFromAdj]]; otherwise materialize the edge plan
+    val (oriented, m) = adj match {
+      case Some(a) => (degreeOrientedFromAdj(a), a.count() / 2)
+      case None =>
+        val e = edges.materialize
+        (degreeOriented(e), e.count())
+    }
     val conf = edges.sparkSession.sessionState.conf
     val nPart = math.min(4096L,
       math.max(conf.numShufflePartitions.toLong, m / 50000L)).toInt
-    val o = degreeOriented(e)
+    val o = oriented
       .repartition(nPart, col("src")).materialize
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
       (col("x.deg_dst") === col("y.deg_dst") && col("x.dst") < col("y.dst"))
@@ -115,7 +141,8 @@ object GraphOps {
   val g01 = Q("g01_neardup_triangles",
     (s, dir) =>
       triangleCountDegreeOrdered(
-        DedupOps.sharedPairGraph(s, dir).select("doc_a", "doc_b")),
+        DedupOps.sharedPairGraph(s, dir).select("doc_a", "doc_b"),
+        adj = Some(DedupOps.sharedAdjacency(s, dir))),
     Some("""
       WITH w AS (
         SELECT doc_id,
@@ -309,20 +336,31 @@ object GraphOps {
     * one (node, label) partial count, and a per-node argmax that
     * compiles to WindowGroupLimit — everything keyed by node, lineage
     * cut per round (the d06/g02 discipline). */
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      symAdj: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = canonical(edges)
     // eager: sym feeds the label init AND every round's join — lazy
-    // checkpoints are raced by parallel stages (the d02/g01 lesson)
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
-      .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .materialize
+    // checkpoints are raced by parallel stages (the d02/g01 lesson).
+    // A provided symAdj is a bucketed storage scan (its own
+    // materialization — a checkpoint would erase the bucketing).
+    val sym = symAdj.getOrElse {
+      val e = canonical(edges)
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .materialize
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to iterations) {
-      labels = sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"), col("label"))
+      // votes keyed on `src` (the adjacency's bucket key), voting each
+      // edge's src label onto its dst: over a SYMMETRIC edge frame this
+      // is the same multiset of (node, label) votes as the textbook
+      // "label of dst grouped by src" formulation — every undirected
+      // edge appears in both orientations — but it keeps the join
+      // exchange-free on a src-bucketed adjacency.
+      labels = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -336,7 +374,7 @@ object GraphOps {
     (s, dir) =>
       labelPropagation(
         DedupOps.sharedPairGraph(s, dir, 0.7).select("doc_a", "doc_b"),
-        iterations = 2)
+        iterations = 2, symAdj = Some(DedupOps.sharedAdjacency(s, dir, 0.7)))
         .select(col("node").as("doc_id"), col("label").as("community"))
         .orderBy("doc_id"),
     Some("""
