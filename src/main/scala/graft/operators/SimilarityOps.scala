@@ -64,15 +64,62 @@ object SimilarityOps {
 
   // ---------------------------------------------------------------- s02
   /** ANN via random-hyperplane LSH: 6-bit signatures (64 buckets), queries
-    * probe their own bucket plus all hamming-1 neighbors. Approximate by
-    * construction → rows-only driver check; recall vs s01 is asserted in
-    * SimilaritySpec. */
+    * probe their own bucket plus all hamming-1 neighbors.
+    *
+    * Oracle: approximate ≠ unverifiable. The hyperplanes are fixed
+    * constants (seed 7), so the WHOLE algorithm — signatures, probe set,
+    * bucket join, rank — replays in DuckDB with the planes inlined as
+    * list literals, and the driver hash-checks the ANN pipeline
+    * end-to-end against an independent engine (stronger than the old
+    * rows-only gate, which couldn't see a wrong bucket or a dropped
+    * probe). Recall floors vs s01 stay in SimilaritySpec. */
+  private val lshPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def s02OracleSql: String = {
+    val sigTerms = lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, [${p.mkString(",")}]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n             + ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      b AS (
+        SELECT vec_id, v,
+             $sigTerms AS bucket
+        FROM e),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+            FROM b WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qv,
+               unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                       xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS bucket
+        FROM q),
+      cand AS (
+        SELECT p.query_id, p.qv, b.vec_id, b.v
+        FROM probes p JOIN b USING (bucket)
+        WHERE b.vec_id <> p.query_id),
+      scored AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM cand),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""
+  }
+
   val s02 = Q("s02_ann_lsh",
     (s, dir) => {
-      val planes: Array[Array[Double]] = {
-        val rnd = new scala.util.Random(7)
-        Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
-      }
+      val planes = lshPlanes
       def sigCol(vcol: String) = (0 until 6).map { p =>
         val dot = expr(s"aggregate(zip_with($vcol, array(${planes(p).mkString(",")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
         when(dot >= 0, lit(1 << p)).otherwise(lit(0))
@@ -95,7 +142,7 @@ object SimilarityOps {
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rn")
     },
-    None)
+    Some(s02OracleSql))
 
   // ---------------------------------------------------------------- s03
   /** IVF-style ANN: coarse quantizer from a deterministic driver-side
@@ -103,15 +150,22 @@ object SimilarityOps {
     * centroids), vectors assigned to their nearest centroid, queries probe
     * the 2 nearest cells only. The inverted-file shape is what scales:
     * the corpus is scanned once to build cell assignments, and each query
-    * touches ~2/k of the data. Approximate → rows-only gate; recall vs
-    * s01 is asserted in SimilarityIvfSpec. */
+    * touches ~2/k of the data. Approximate but fully deterministic
+    * (portable md5 sample ordering), so the oracle replays the whole
+    * index build + probe in DuckDB and hash-checks it; recall vs s01
+    * is asserted in SimilarityIvfSpec. */
   /** Deterministic UNBIASED sample → k coarse centroids: ordering by a
     * hash of the id is a reproducible shuffle, so the 256 rows spread
     * across the corpus instead of being the 256 lowest ids (which would
     * train all centroids on one corner of the id space). Bounded driver
-    * cost: TakeOrdered over 256 rows. (k-means|| seeding is overkill.) */
+    * cost: TakeOrdered over 256 rows. (k-means|| seeding is overkill.)
+    * The hash is md5 of the DECIMAL id string — the d03 portable-hash
+    * convention — so the same sample (hence the same centroids, cells,
+    * and final ANN answer) is reproducible in DuckDB and the s03/s08
+    * oracles can replay the whole index build. */
   private def ivfCentroids(e: DataFrame, k: Int = 8): Seq[Array[Double]] = {
-    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256).collect()
+    val sample = e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
+      col("vec_id")).limit(256).collect()
     (0 until k).map { i =>
       sample(i * math.max(1, sample.length / k) % sample.length)
         .getSeq[Double](2).toArray
@@ -135,6 +189,116 @@ object SimilarityOps {
       vcol: String): org.apache.spark.sql.Column =
     array_sort(array(cellDists(centroids, vcol): _*)).getItem(1).getField("cell")
 
+  /** Shared DuckDB replay of the IVF index build (the exact mirror of
+    * [[ivfCentroids]] / [[nearestCellExpr]] / [[secondCellExpr]]):
+    * `e` double vectors → `h` md5-ordered sample ranks → `cent` the k=8
+    * stride-32 sample centroids → `celldist` every vector × centroid L2
+    * (elementwise, same op order as the Spark fold) → `assigned`
+    * nearest cell (ties to the lower cell id, the struct-min semantics)
+    * → `probes` each query's 2 nearest cells. */
+  private val ivfOracleIndex: String = """
+      e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      h AS (
+        SELECT vec_id, v,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS hrn
+        FROM e),
+      cent AS (
+        SELECT CAST((hrn - 1) // 32 AS INTEGER) AS cell, v AS cv
+        FROM h WHERE hrn <= 256 AND (hrn - 1) % 32 = 0),
+      celldist AS (
+        SELECT e.vec_id, e.v, c.cell,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+        FROM e CROSS JOIN cent c),
+      cellrank AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cell) AS crn
+        FROM celldist),
+      assigned AS (SELECT vec_id, v, cell FROM cellrank WHERE crn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cell
+        FROM cellrank WHERE vec_id < 5 AND crn <= 2)"""
+
+  private val annTopkEpilogue: String = """
+      scored AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM cand),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, rn, vec_id AS neighbor_id, round(cosine, 4) AS cosine
+      FROM ranked
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""
+
+  private val s03OracleSql: String = s"""
+      WITH $ivfOracleIndex,
+      cand AS (
+        SELECT p.query_id, p.qv, a.vec_id, a.v
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.query_id),
+      $annTopkEpilogue"""
+
+  /** Full IVF-PQ replay: the s03 index CTEs + the s07 codebook/encode
+    * CTEs + the ADC scoring, 64-deep shortlist, and exact re-rank —
+    * every stage of the production ANN pipeline hash-checked against
+    * DuckDB. */
+  private val s08OracleSql: String = s"""
+      WITH $ivfOracleIndex,
+      subs AS (
+        SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sub
+        FROM e, (SELECT unnest(range(0, 4)) AS m)),
+      pqc AS (
+        SELECT vec_id AS cid, m, sub AS csub FROM subs WHERE vec_id < 8),
+      dd AS (
+        SELECT s.vec_id, s.m, c.cid,
+               list_sum(list_transform(range(1, 17),
+                 i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))) AS dist
+        FROM subs s JOIN pqc c ON s.m = c.m),
+      mind AS (SELECT vec_id, m, min(dist) AS md FROM dd GROUP BY 1, 2),
+      codes AS (
+        SELECT dd.vec_id, dd.m, min(cid) AS code
+        FROM dd JOIN mind USING (vec_id, m)
+        WHERE dist = md
+        GROUP BY 1, 2),
+      adc AS (
+        SELECT q.vec_id AS query_id, q.m, c.cid AS code,
+               list_sum(list_transform(range(1, 17),
+                 i -> (q.sub[i] - c.csub[i]) * (q.sub[i] - c.csub[i]))) AS qd
+        FROM subs q JOIN pqc c ON q.m = c.m
+        WHERE q.vec_id < 5),
+      cand0 AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.query_id),
+      adist AS (
+        SELECT cand0.query_id, cand0.vec_id, sum(adc.qd) AS adist
+        FROM cand0
+        JOIN codes USING (vec_id)
+        JOIN adc ON adc.query_id = cand0.query_id
+                AND adc.m = codes.m AND adc.code = codes.code
+        GROUP BY 1, 2),
+      shortlist AS (
+        SELECT query_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, vec_id) AS srn
+          FROM adist)
+        WHERE srn <= 64),
+      cand AS (
+        SELECT sl.query_id, q.v AS qv, e.vec_id, e.v
+        FROM shortlist sl
+        JOIN e USING (vec_id)
+        JOIN (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5) q
+          USING (query_id)),
+      $annTopkEpilogue"""
+
   val s03 = Q("s03_ann_ivf",
     (s, dir) => {
       val e = emb(s, dir)
@@ -156,7 +320,7 @@ object SimilarityOps {
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rn")
     },
-    None)
+    Some(s03OracleSql))
 
   // ---------------------------------------------------------------- s04
   /** Embedding normalization + int8 quantization — the storage-side
@@ -396,10 +560,12 @@ object SimilarityOps {
     *      ranking error: 32 left clustered recall at the 0.8 floor,
     *      64 recovers 1.00 — ApproxAndIvfSpec.)
     *
-    * Approximate by construction (IVF recall × PQ ranking error) → no
-    * SQL oracle; recall vs the s01 exact baseline is asserted on the
-    * clustered fixture in ApproxAndIvfSpec. Fully deterministic: seeded
-    * sample centroids, seed codebook, id tie-breaks everywhere. */
+    * Approximate by construction (IVF recall × PQ ranking error) but
+    * fully deterministic — seeded sample centroids, seed codebook, id
+    * tie-breaks everywhere — so the oracle replays the entire pipeline
+    * (index build, ADC, shortlist, re-rank) in DuckDB and hash-checks
+    * it; recall vs the s01 exact baseline is asserted on the clustered
+    * fixture in ApproxAndIvfSpec. */
   val s08 = Q("s08_ann_ivfpq",
     (s, dir) => {
       val e = emb(s, dir)
@@ -451,7 +617,7 @@ object SimilarityOps {
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rn")
     },
-    None)
+    Some(s08OracleSql))
 
   // ---------------------------------------------------------------- s09
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
