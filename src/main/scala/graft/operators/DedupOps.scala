@@ -922,25 +922,16 @@ object DedupOps {
     * broadcasts it and the corpus streams past once. Shingle strings
     * would be hashed to int64 at 100 TB to shrink the broadcast; kept as
     * strings here so the oracle join is byte-exact. */
-  val d08 = Q("d08_decontaminate",
-    (s, dir) => {
-      def shingled(df: DataFrame, idCol: String): DataFrame = df
-        .withColumn("toks", wordsRawExpr)
-        .filter(size(col("toks")) >= 8)
-        .select(col("doc_id").as(idCol), explode(expr(
-          "array_distinct(transform(sequence(1, size(toks) - 7), " +
-            "i -> concat_ws(' ', slice(toks, i, 8))))")).as("shingle"))
-      val d = docs(s, dir)
-      val bench = shingled(d.filter(col("doc_id") < 50), "bench_id")
-      val corpus = shingled(d.filter(col("doc_id") >= 50), "doc_id")
-      corpus.join(broadcast(bench), "shingle")
-        .groupBy("bench_id", "doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("bench_id", "doc_id")
-        .select("bench_id", "doc_id", "n_shared")
-    },
-    Some("""
+  /** One row per (id, distinct 8-gram word shingle); shared by the d08
+    * broadcast path and the d13 Bloom-pruned path. */
+  private def shingleRows(df: DataFrame, idCol: String): DataFrame = df
+    .withColumn("toks", wordsRawExpr)
+    .filter(size(col("toks")) >= 8)
+    .select(col("doc_id").as(idCol), explode(expr(
+      "array_distinct(transform(sequence(1, size(toks) - 7), " +
+        "i -> concat_ws(' ', slice(toks, i, 8))))")).as("shingle"))
+
+  private val decontaminateOracleSql: String = """
       WITH t AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -956,7 +947,68 @@ object DedupOps {
       WHERE b.doc_id < 50 AND c.doc_id >= 50
       GROUP BY 1, 2
       HAVING count(*) >= 3
-      ORDER BY bench_id, doc_id"""))
+      ORDER BY bench_id, doc_id"""
+
+  val d08 = Q("d08_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val bench = shingleRows(d.filter(col("doc_id") < 50), "bench_id")
+      val corpus = shingleRows(d.filter(col("doc_id") >= 50), "doc_id")
+      corpus.join(broadcast(bench), "shingle")
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("bench_id", "doc_id")
+        .select("bench_id", "doc_id", "n_shared")
+    },
+    Some(decontaminateOracleSql))
+
+  // ---------------------------------------------------------------- d13
+  /** Bloom-pruned decontamination — d08's exact semantics for the regime
+    * where the benchmark side is too big to broadcast RAW but fits as a
+    * sketch: a 100M-shingle eval suite is ~1+ GB of strings (a broadcast
+    * that evicts executor cache) but an 8-bits-per-item Bloom filter of
+    * it is ~100 MB at 1% fpp. The corpus side is pruned SCAN-LOCALLY with
+    * the same native expression pair Spark's own runtime join filters
+    * inject (`BloomFilterAggregate` → one binary row, collected and
+    * inlined as a literal; `BloomFilterMightContain` — codegen'd — in
+    * the filter), so only might-contain survivors ever reach the shuffle.
+    * Bloom false positives and xxhash64 collisions are culled by the
+    * exact string equi-join behind the filter, which makes the output
+    * BIT-IDENTICAL to d08 — no false negatives exist by Bloom's
+    * one-sided-error guarantee — and the d08 oracle applies verbatim
+    * (BloomDecontaminateSpec also pins d13 ≡ d08 and the pre-join
+    * pruning shape). The one driver round-trip is a single bounded row
+    * (the filter bytes), the same discipline as the centroid sample;
+    * at 100 TB the estimated-items parameter would come from table
+    * stats rather than this fixture default. */
+  val d13 = Q("d13_bloom_decontaminate",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.types.BinaryType
+      val d = docs(s, dir)
+      val bench = shingleRows(d.filter(col("doc_id") < 50), "bench_id")
+        .materialize // feeds the bloom build AND the exact verify join
+      val corpus = shingleRows(d.filter(col("doc_id") >= 50), "doc_id")
+      val bloomBytes = bench
+        .select(xxhash64(col("shingle")).as("h"))
+        .agg(Bridge.column(new BloomFilterAggregate(
+            Bridge.expression(col("h")), 1000000L).toAggregateExpression())
+          .as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val pruned = corpus.filter(Bridge.column(new BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        Bridge.expression(xxhash64(col("shingle"))))))
+      pruned.join(bench, "shingle") // exact verify: fp + collisions die here
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("bench_id", "doc_id")
+        .select("bench_id", "doc_id", "n_shared")
+    },
+    Some(decontaminateOracleSql))
 
   // ---------------------------------------------------------------- d09
   /** ASYMMETRIC containment self-join: ordered pairs (a, b) where at
@@ -1215,5 +1267,5 @@ object DedupOps {
       ORDER BY vec_id"""))
 
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12)
+    d11, d12, d13)
 }
