@@ -865,6 +865,18 @@ object DedupOps {
     val key = (s.sparkContext.applicationId, fp, threshold)
     val table = adjMemo.getOrElseUpdate(key, {
       val name = s"graft_adj_${fp.take(12)}_${(threshold * 100).round}"
+      // the warehouse DIRECTORY outlives the in-memory catalog: a table
+      // written by a previous application leaves its location on disk
+      // while the fresh catalog has no entry, and saveAsTable then fails
+      // with LOCATION_ALREADY_EXISTS — drop any catalog entry and delete
+      // the stale location first (idempotent; the memo already guards
+      // same-application reuse)
+      s.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val pairs = sharedPairGraph(s, dir, threshold)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val m = pairs.count()

@@ -166,6 +166,17 @@ object MergeOps {
   def bucketedSnapshots(s: SparkSession, oldDf: DataFrame, newDf: DataFrame,
       key: String, buckets: Int, oldName: String, newName: String):
       (DataFrame, DataFrame) = {
+    // a managed-table LOCATION left by a previous application (fresh
+    // catalog, stale directory) fails saveAsTable with
+    // LOCATION_ALREADY_EXISTS — drop + delete first (idempotent)
+    Seq(oldName, newName).foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS `$n`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(n)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     oldDf.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
       .saveAsTable(oldName)
     newDf.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
