@@ -1278,6 +1278,86 @@ object DedupOps {
       FROM kept
       ORDER BY vec_id"""))
 
+  // ---------------------------------------------------------------- d14
+  /** Span-level exact dedup (the C4/RefinedWeb "duplicate paragraph
+    * removal" recipe): every document is cut into fixed 10-word spans
+    * (this corpus has no newline structure, so the span IS the paragraph
+    * unit), any span occurring more than once in the corpus survives only
+    * in its first occurrence — min (doc_id, span_idx) — and each document
+    * is reconstructed from its surviving spans in order. Unlike d01
+    * (whole-doc) this removes boilerplate REGIONS from otherwise-unique
+    * documents, which is where most web-corpus duplication actually
+    * lives.
+    *
+    * Scale shape: span construction is scan-local expression space
+    * (transform + slice — no per-word explode); the winner per span is a
+    * partial-agg min(struct) — one shuffle keyed by span; survivors join
+    * back on the span key; reconstruction is one doc-keyed shuffle. All
+    * three shuffles are linear in token volume. At 100 TB the
+    * group/join key would be a 128-bit span fingerprint (xxhash64 pairs
+    * or md5) so the exchanges carry 16 bytes instead of ~70-char
+    * strings; semantics identical modulo negligible collision odds. */
+  val d14 = Q("d14_span_dedup",
+    (s, dir) => {
+      val L = 10
+      val sp = docs(s, dir)
+        .select(col("doc_id"), wordsRawExpr.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(ws) / $L.0) as int) - 1),
+                        i -> array_join(slice(ws, i * $L + 1, $L), ' '))"""))
+          .as(Seq("span_idx", "span")))
+      val winners = sp.groupBy("span")
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("w"))
+      val kept = sp.join(winners, "span")
+        .filter(col("doc_id") === col("w.doc_id") &&
+          col("span_idx") === col("w.span_idx"))
+      val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val rec = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("span_idx"), col("span")))),
+          x => x.getField("span")), " ").as("clean_text"))
+      docs(s, dir).select(col("doc_id"))
+        .join(tot, Seq("doc_id"), "left_outer")
+        .join(rec, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (coalesce(col("n_spans"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sp AS (
+        SELECT doc_id, i AS span_idx,
+               array_to_string(ws[i*10+1 : i*10+10], ' ') AS span
+        FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1))
+               AS t(i)),
+      kp AS (
+        SELECT doc_id, span_idx, span FROM (
+          SELECT doc_id, span_idx, span,
+                 row_number() OVER (PARTITION BY span
+                                    ORDER BY doc_id, span_idx) AS rn
+          FROM sp) WHERE rn = 1),
+      tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+      rec AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+              FROM kp GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(t.n_spans, 0) AS n_spans,
+             coalesce(r.n_kept, 0) AS n_kept,
+             coalesce(t.n_spans, 0) - coalesce(r.n_kept, 0) AS n_dropped,
+             coalesce(r.clean_text, '') AS clean_text
+      FROM documents d
+      LEFT JOIN tot t USING (doc_id)
+      LEFT JOIN rec r USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13)
+    d11, d12, d13, d14)
 }

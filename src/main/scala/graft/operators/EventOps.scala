@@ -537,6 +537,93 @@ object EventOps {
       GROUP BY d.day
       ORDER BY day"""))
 
+  // ---------------------------------------------------------------- e14
+  /** N-step strictly-ordered conversion funnel (signup → view → click →
+    * purchase) with a 24 h per-step conversion window: step k counts only
+    * events strictly after the event that satisfied step k-1 AND within
+    * 24 h of it — the standard product-analytics greedy semantics (each
+    * step binds to the EARLIEST qualifying event; the funnel never
+    * backtracks). The one-pass fold and the chained-min formulation
+    * compute the same greedy recurrence, so they agree exactly; the spec
+    * pins that equivalence on generated data, and the oracle uses the
+    * chained form because DuckDB lacks the fold.
+    *
+    * Scale shape: ONE shuffle keyed by user_id; the per-user event list
+    * folds through `aggregate` entirely in expression space (state =
+    * struct(deepest step, micros of the event that reached it)). The
+    * naive formulation is k chained self-join+agg passes over the events
+    * table — k shuffles of the full fact — which this collapses into
+    * one. Per-user event lists are bounded by session volume; a
+    * pathological power-user is a skewed group, not a skewed join, so
+    * AQE partition-split covers it. Ties in `ts` are broken by event_id
+    * in both engines (sort_array on the (us, eid, type) struct vs
+    * ORDER BY ts, event_id). */
+  val e14 = Q("e14_strict_funnel",
+    (s, dir) => {
+      val steps = Seq("signup", "view", "click", "purchase")
+      val windowUs = 24L * 3600 * 1000000
+      val stepsArr = array(steps.map(lit): _*)
+      val zero = struct(lit(0).as("d"), lit(0L).as("us"))
+      val depth = ev(s, dir)
+        .filter(col("event_type").isin(steps: _*))
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            col("event_type").as("et")).as("e"))
+        .groupBy("user_id")
+        .agg(aggregate(sort_array(collect_list(col("e"))), zero,
+          (st, e) => {
+            val d = st.getField("d")
+            val advance = d < lit(steps.length) &&
+              e.getField("et") === element_at(stepsArr, d + 1) &&
+              (d === 0 || e.getField("us") - st.getField("us") <= windowUs)
+            when(advance,
+              struct((d + 1).as("d"), e.getField("us").as("us")))
+              .otherwise(struct(d.as("d"), st.getField("us").as("us")))
+          },
+          st => st.getField("d")).as("depth"))
+      depth.agg(
+          count(when(col("depth") >= 1, 1)).as("n1"),
+          count(when(col("depth") >= 2, 1)).as("n2"),
+          count(when(col("depth") >= 3, 1)).as("n3"),
+          count(when(col("depth") >= 4, 1)).as("n4"))
+        .select(expr(
+          """stack(4, 1, 'signup', n1, 2, 'view', n2,
+                      3, 'click', n3, 4, 'purchase', n4)
+             AS (step_idx, step, n_users)"""))
+        .orderBy("step_idx")
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, event_type AS et,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ord
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      s1 AS (SELECT user_id, min(ord) AS o FROM f
+             WHERE et = 'signup' GROUP BY user_id),
+      s1u AS (SELECT f.user_id, f.us AS pus, f.ord AS pord
+              FROM f JOIN s1 ON f.user_id = s1.user_id AND f.ord = s1.o),
+      s2 AS (SELECT f.user_id, min(f.ord) AS o FROM f JOIN s1u USING (user_id)
+             WHERE et = 'view' AND f.ord > pord
+               AND f.us - pus <= 86400000000 GROUP BY f.user_id),
+      s2u AS (SELECT f.user_id, f.us AS pus, f.ord AS pord
+              FROM f JOIN s2 ON f.user_id = s2.user_id AND f.ord = s2.o),
+      s3 AS (SELECT f.user_id, min(f.ord) AS o FROM f JOIN s2u USING (user_id)
+             WHERE et = 'click' AND f.ord > pord
+               AND f.us - pus <= 86400000000 GROUP BY f.user_id),
+      s3u AS (SELECT f.user_id, f.us AS pus, f.ord AS pord
+              FROM f JOIN s3 ON f.user_id = s3.user_id AND f.ord = s3.o),
+      s4 AS (SELECT f.user_id, min(f.ord) AS o FROM f JOIN s3u USING (user_id)
+             WHERE et = 'purchase' AND f.ord > pord
+               AND f.us - pus <= 86400000000 GROUP BY f.user_id)
+      SELECT step_idx, step, n_users FROM (
+        SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+      ORDER BY step_idx"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13)
+    e11, e12, e13, e14)
 }

@@ -940,6 +940,65 @@ object TextOps {
       WHERE rk <= 10
       ORDER BY source, rk"""))
 
+  // ---------------------------------------------------------------- t22
+  /** Per-source token-budget curation: fill each source's budget (700
+    * tokens) greedily by descending document quality proxy (n_chars,
+    * doc_id tiebreak) — the admission rule is "keep while the budget is
+    * not yet exhausted BEFORE this doc", so the straddling document is
+    * kept and every source lands at ≥ its budget (or its whole corpus).
+    * Completes the budget family: t12 caps by document COUNT per class,
+    * t15 packs into fixed sequence windows, t10/t18 weight by source —
+    * this is the token-budgeted selection that pretraining mixtures
+    * actually specify ("50B tokens of source X").
+    *
+    * Scale shape: token counts ride the scan; the running sum is a
+    * per-source window — partitions are per source (bounded cardinality,
+    * one sort each), no global sort. At 100 TB the exact-sort window
+    * would be replaced by the t14 pattern: an approx-quantile threshold
+    * on quality per source picks ~the budget boundary, the window then
+    * runs only over the boundary decile. Output is the per-source
+    * admission summary; per-doc detail is the same plan minus the final
+    * agg. */
+  val t22 = Q("t22_token_budget_cap",
+    (s, dir) => {
+      val budget = 700L
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(tokensExpr).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(wn), lit(0L)))
+        .withColumn("kept", col("cum_before") < budget)
+        .groupBy("source")
+        .agg(count(when(col("kept"), 1)).as("n_kept"),
+          count(when(!col("kept"), 1)).as("n_dropped"),
+          coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM d)
+      SELECT source,
+             count(CASE WHEN cum_before < 700 THEN 1 END) AS n_kept,
+             count(CASE WHEN cum_before >= 700 THEN 1 END) AS n_dropped,
+             coalesce(sum(CASE WHEN cum_before < 700 THEN n_tokens END), 0)
+               AS tokens_kept
+      FROM c
+      GROUP BY source
+      ORDER BY source"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }
