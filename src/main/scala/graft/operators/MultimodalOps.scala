@@ -284,5 +284,102 @@ object MultimodalOps {
       GROUP BY shard, batch
       ORDER BY shard, batch"""))
 
-  val queries: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** 64-bit average-hash over a decoded image: downsample the raster to
+    * 8×8 by block-mean, bit i = cell > global mean. Hamming distance
+    * between aHashes survives re-encoding, resizing, and mild noise —
+    * the image-dedup primitive (pHash's simpler sibling). */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val cells = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        // block [x0,x1) × [y0,y1); ≥1 px per block for any w,h ≥ 8
+        val (x0, x1) = (cx * w / 8, math.max((cx + 1) * w / 8, cx * w / 8 + 1))
+        val (y0, y1) = (cy * h / 8, math.max((cy + 1) * h / 8, cy * h / 8 + 1))
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { sum += raster.getSample(x, y, 0); n += 1; x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum.toDouble / math.max(n, 1)
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  // ---------------------------------------------------------------- m06
+  /** Perceptual image dedup — the multimodal member of the dedup family:
+    * render each doc's PNG (m02 pipeline), REAL-decode it, compute the
+    * 64-bit aHash, and emit near-dup pairs at hamming ≤ 4 via the d03
+    * pigeonhole trick (≤ 4 bit flips over 4 16-bit segments ⇒ ≥ 1
+    * segment equal → equi-join, no pair space).
+    *
+    * Scale shape: codec + hash run in mapPartitions batches (one scan);
+    * everything after is 1 long per image — the segment join's key space
+    * grows with corpus size, candidates deduped by partial-agg min.
+    * The corpus has no image column, so each doc renders the PNG of its
+    * asset key (source + size bucket) — the re-uploaded-asset scenario,
+    * which gives the fixture real duplicate images (the raw text would
+    * render 500 unique rasters and an empty board row). Oracle: the
+    * hash rides a real codec DuckDB lacks, BUT identical pixels ⟺ equal
+    * asset keys (encodePng is deterministic; md5 expansion is avalanche
+    * — unequal seeds give uncorrelated rasters, P(hamming ≤ 4) ≈
+    * 3·10⁻¹⁴ per pair), so the key-equality self-join predicts the pair
+    * set exactly and the driver hash-checks end-to-end.
+    * MultimodalPhashSpec pins the part the fixture can't show:
+    * genuinely NEAR (not identical) images — noised re-encodes land
+    * within hamming ≤ 4, distinct images far outside. */
+  val m06 = Q("m06_phash_dedup",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val hashes = docs(s, dir)
+        .select(col("doc_id"),
+          concat_ws(":", col("source"), floor(col("n_chars") / 100).cast("long"))
+            .cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, seed) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(ImageCodec.encodePng(seed)))
+            (id, aHash(img))
+          }
+        }.toDF("doc_id", "ahash")
+      val seg = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("seg"),
+            shiftright(col("ahash"), k * 16).bitwiseAND(0xFFFFL).as("sv"))): _*)).as("sg"))
+        .select(col("doc_id"), col("ahash"), col("sg.seg").as("seg"), col("sg.sv").as("sv"))
+      seg.alias("x").join(seg.alias("y"), Seq("seg", "sv"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
+        .filter(col("hamming") <= 4)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               source || ':' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)
+                 AS asset_key
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(0 AS INTEGER) AS hamming
+      FROM k a JOIN k b
+        ON a.asset_key = b.asset_key AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""))
+
+  val queries: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

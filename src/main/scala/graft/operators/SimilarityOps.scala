@@ -732,5 +732,101 @@ object SimilarityOps {
       ORDER BY rrf DESC, doc_id
       LIMIT 10"""))
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  // ---------------------------------------------------------------- s10
+  /** MMR (maximal marginal relevance) diversified re-ranking: top-30
+    * cosine shortlist for query vec 0, then 10 greedy picks maximizing
+    * λ·sim(q,c) − (1−λ)·max sim(c, already-picked), λ = 0.7 — the
+    * relevance-vs-redundancy re-ranker every RAG retrieval stack runs
+    * after ANN.
+    *
+    * The greedy loop is inherently sequential in k, but k and the
+    * shortlist size are CONSTANTS — so the selection runs as ONE
+    * `aggregate` fold over sequence(1,k) on one aggregated shortlist
+    * row, state = struct(picked list, remaining list). One fixed-size
+    * expression evaluated iteratively at runtime (an earlier unrolled
+    * withColumn-chain version grew the Catalyst tree ~3^k and hung the
+    * optimizer — the fold is the right encoding). No driver-side
+    * collect-loop; the shortlist never leaves the executors. Scale
+    * shape: the expensive part (corpus → top-30) is the s01
+    * broadcast-probe scan; the MMR tail is O(k²·30) expression work on
+    * one row. The oracle unrolls the same 10 picks as chained CTEs —
+    * DuckDB replays shortlist, penalties, argmax (same left-to-right
+    * float math as the fused CosineSimilarity loop, 0.7/0.3 as literals
+    * in both engines, ties by id), so the whole diversification
+    * pipeline is hash-checked. */
+  val s10 = Q("s10_mmr_diversify",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val short = e.join(broadcast(q), col("vec_id") =!= lit(0))
+        .withColumn("qsim", cosine_similarity(col("qv"), col("v")))
+        .orderBy(col("qsim").desc, col("vec_id")).limit(30)
+        .select(col("vec_id").as("id"), col("v"), col("qsim"))
+      // argmax over the remaining candidates, scored against the picks so
+      // far; SQL lambdas have no let-binding, so `best` is re-derived per
+      // field via array_max (30-element array ops — negligible)
+      val best =
+        """array_max(transform(st.rem, c -> named_struct(
+             'score', 0.7 * c.qsim - 0.3 * coalesce(
+                array_max(transform(st.sel, x -> cosine_similarity(c.v, x.v))), 0.0d),
+             'nid', -c.id, 'id', c.id, 'v', c.v, 'qsim', c.qsim)))"""
+      val df = short
+        .agg(collect_list(struct(col("id"), col("v"), col("qsim"))).as("rem0"))
+        .select(expr(
+          s"""aggregate(
+                sequence(1, 10),
+                named_struct(
+                  'sel', cast(array() as array<struct<id: bigint, v: array<double>, qsim: double, score: double>>),
+                  'rem', rem0),
+                (st, i) -> named_struct(
+                  'sel', array_append(st.sel, named_struct(
+                     'id', $best.id, 'v', $best.v,
+                     'qsim', $best.qsim, 'score', $best.score)),
+                  'rem', filter(st.rem, c -> c.id != $best.id)),
+                st -> st.sel)""").as("sel"))
+      df.select(posexplode(col("sel")).as(Seq("pos", "p")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("p.id").as("vec_id"),
+          round(col("p.score"), 4).as("mmr_score"),
+          round(col("p.qsim"), 4).as("cosine"))
+        .orderBy("rank")
+    },
+    Some(s10OracleSql))
+
+  private def s10OracleSql: String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val steps = (1 to 10).map { i =>
+      val prevSel = if (i == 1) "sel0" else s"sel${i - 1}"
+      s"""
+      b$i AS (
+        SELECT c.id, c.v, c.qsim,
+               0.7 * c.qsim - 0.3 * coalesce(list_max(
+                 list_transform(s.sel, x -> ${cos("c.v", "x.v")})), 0.0) AS score
+        FROM cand c, $prevSel s
+        WHERE NOT list_contains(list_transform(s.sel, x -> x.id), c.id)
+        ORDER BY score DESC, c.id LIMIT 1),
+      sel$i AS (
+        SELECT list_append(s.sel, {'id': b.id, 'v': b.v, 'qsim': b.qsim, 'score': b.score}) AS sel
+        FROM $prevSel s, b$i b)"""
+    }.mkString(",")
+    val out = (1 to 10).map(i =>
+      s"SELECT $i AS rank, id AS vec_id, round(score, 4) AS mmr_score, round(qsim, 4) AS cosine FROM b$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      sc AS (
+        SELECT e.vec_id AS id, e.v, ${cos("q.qv", "e.v")} AS qsim
+        FROM e, q WHERE e.vec_id <> 0),
+      cand AS (SELECT id, v, qsim FROM sc ORDER BY qsim DESC, id LIMIT 30),
+      sel0 AS (SELECT CAST([] AS STRUCT(id BIGINT, v DOUBLE[], qsim DOUBLE, score DOUBLE)[]) AS sel),$steps
+      SELECT rank, vec_id, mmr_score, cosine FROM (
+        $out)
+      ORDER BY rank"""
+  }
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

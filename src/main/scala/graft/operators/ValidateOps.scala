@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-expectation validation — the contract gate a pipeline runs
@@ -164,5 +165,65 @@ object ValidateOps {
                            WHERE n.n_nationkey = s.s_nationkey))
           AS orphan_suppliers"""))
 
-  val queries: Seq[Q] = Seq(v01, v02, v03)
+  // ---------------------------------------------------------------- v04
+  /** Distribution-drift check (PSI — population stability index): the
+    * gate a pipeline runs when a new corpus snapshot lands, before
+    * retraining on it. Reference population = sources src0–src9,
+    * current = src10–src19; metric = n_chars binned into 10 fixed-width
+    * buckets; PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref) with +0.5
+    * Laplace smoothing per bin so empty bins stay finite. (>0.2 is the
+    * conventional "investigate" threshold.)
+    *
+    * Scale shape: binning and population tags ride the scan; ONE
+    * groupBy(bin) with conditional counts (partial-agg) reduces 100 TB
+    * to 10 rows; the PSI arithmetic and total happen on those 10 rows
+    * (window over the 10-row frame, not the data). Fixed-width bins are
+    * deliberate — quantile bins would need a second pass; the t14
+    * approx-quantile pattern is the upgrade when bins must adapt. */
+  val v04 = Q("v04_psi_drift",
+    (s, dir) => {
+      val ref = (0 to 9).map(i => s"src$i")
+      val binned = Tables.df(s, dir, "documents")
+        .withColumn("bin", least(floor(col("n_chars") / 60), lit(9)).cast("long"))
+        .groupBy("bin")
+        .agg(count(when(col("source").isin(ref: _*), 1)).as("n_ref"),
+          count(when(!col("source").isin(ref: _*), 1)).as("n_cur"))
+      val w = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      binned
+        .withColumn("p_ref",
+          (col("n_ref") + 0.5) / (sum("n_ref").over(w) + 5.0))
+        .withColumn("p_cur",
+          (col("n_cur") + 0.5) / (sum("n_cur").over(w) + 5.0))
+        .withColumn("psi_term",
+          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+        .withColumn("psi_total", round(sum("psi_term").over(w), 6))
+        .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"),
+          col("psi_total"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (
+        SELECT least(CAST(floor(n_chars / 60) AS BIGINT), 9) AS bin,
+               count(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                 'src5','src6','src7','src8','src9') THEN 1 END) AS n_ref,
+               count(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4',
+                 'src5','src6','src7','src8','src9') THEN 1 END) AS n_cur
+        FROM documents
+        GROUP BY 1),
+      p AS (
+        SELECT bin, n_ref, n_cur,
+               (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS p_ref,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS p_cur
+        FROM b),
+      t AS (
+        SELECT bin, n_ref, n_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM p)
+      SELECT bin, n_ref, n_cur, psi_term,
+             round(sum(psi_term) OVER (), 6) AS psi_total
+      FROM t
+      ORDER BY bin"""))
+
+  val queries: Seq[Q] = Seq(v01, v02, v03, v04)
 }

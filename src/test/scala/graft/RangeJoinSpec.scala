@@ -51,4 +51,33 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L)) // 10.0 in, 25.0 (== hi) out
   }
+
+  test("binnedIntervalJoin equals the naive theta join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def intervals(n: Int, prefix: String) = (0 until n).map { i =>
+      val lo = rnd.nextDouble() * 90
+      // spans up to 25 ≫ binWidth 5 → pairs share many bins, so a
+      // dedup failure would show as duplicate rows, not a wrong set
+      (i.toLong, lo, lo + 0.5 + rnd.nextDouble() * 25)
+    }.toDF(s"${prefix}id", s"${prefix}lo", s"${prefix}hi")
+    val a = intervals(120, "a")
+    val b = intervals(90, "b")
+    val got = RangeJoinOps.binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", 5.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq, "multiset equality — no dup emissions")
+    assert(got.length == got.toSet.size, "each overlapping pair emitted exactly once")
+    assert(got.nonEmpty)
+  }
+
+  test("touching half-open intervals do not overlap; 1-unit overlap does") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 10.0)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 10.0, 20.0), (11L, 9.0, 20.0)).toDF("bid", "blo", "bhi")
+    val got = RangeJoinOps.binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", 4.0)
+      .select("bid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L)) // [0,10) ∩ [10,20) = ∅; [0,10) ∩ [9,20) ≠ ∅
+  }
 }
