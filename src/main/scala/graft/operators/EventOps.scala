@@ -624,6 +624,45 @@ object EventOps {
         UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
       ORDER BY step_idx"""))
 
+  // ---------------------------------------------------------------- e15
+  /** First-order Markov transition matrix over per-user event sequences
+    * — the "what do users do next" model behind next-action prediction
+    * and anomaly scoring on behavior streams. P(next | prev) estimated
+    * from every consecutive event pair within a user's timeline.
+    *
+    * Scale shape: ONE user-keyed window shuffle produces the lag pairs;
+    * the count/probability aggregation is over a BOUNDED key space
+    * (|event types|² = 25 cells), so the second shuffle carries partial
+    * counts only. The per-prev normalizer is a window over ≤5 rows of
+    * the 25-row result, not the data. Ties in ts broken by event_id in
+    * both engines. */
+  val e15 = Q("e15_markov_transitions",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val perPrev = Window.partitionBy("prev_type")
+      ev(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum("n").over(perPrev), 6))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+               event_type AS next_type
+        FROM events),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type)
+      SELECT prev_type, next_type, n,
+             round(n / (sum(n) OVER (PARTITION BY prev_type)), 6) AS p
+      FROM c
+      ORDER BY prev_type, next_type"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14)
+    e11, e12, e13, e14, e15)
 }
