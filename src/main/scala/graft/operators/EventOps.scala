@@ -663,6 +663,50 @@ object EventOps {
       FROM c
       ORDER BY prev_type, next_type"""))
 
+  // ---------------------------------------------------------------- e16
+  /** Gaps-and-islands: maximal runs of consecutive active DAYS per user
+    * (the streak/retention primitive). The classic rewrite — distinct
+    * active days, then `day_number − row_number` is constant exactly
+    * within a consecutive run — turns a sequential-looking scan into two
+    * shuffles on user_id (distinct + window) followed by a bounded
+    * aggregate; no self-join, no iteration. The island key is an integer
+    * day offset from epoch so the grouping column is type-stable across
+    * engines. Per-user partitions are at most a few thousand days even
+    * over a decade of data, so the window never spills at 100 TB. */
+  val e16 = Q("e16_activity_islands",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("day_no")
+      ev(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day_no"))
+        .distinct()
+        .withColumn("grp", col("day_no") - row_number().over(byUser))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"),
+          date_format(date_add(lit("1970-01-01"), min("day_no").cast("int")), "yyyy-MM-dd").as("start_day"),
+          date_format(date_add(lit("1970-01-01"), max("day_no").cast("int")), "yyyy-MM-dd").as("end_day"))
+        .select("user_id", "start_day", "end_day", "len")
+        .orderBy("user_id", "start_day")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_no
+        FROM events),
+      grps AS (
+        SELECT user_id, day_no,
+               day_no - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day_no) AS grp
+        FROM days)
+      SELECT user_id,
+             strftime(DATE '1970-01-01' + to_days(CAST(min(day_no) AS INT)), '%Y-%m-%d') AS start_day,
+             strftime(DATE '1970-01-01' + to_days(CAST(max(day_no) AS INT)), '%Y-%m-%d') AS end_day,
+             count(*) AS len
+      FROM grps
+      GROUP BY user_id, grp
+      ORDER BY user_id, start_day"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15)
+    e11, e12, e13, e14, e15, e16)
 }

@@ -994,7 +994,41 @@ object Relational {
       INTO NAME metric VALUE value
       ORDER BY o_orderstatus, metric"""))
 
+  // ---------------------------------------------------------------- q44
+  /** Regression/correlation statistics — price-vs-quantity fit per return
+    * flag. These are the one-pass co-moment aggregates (corr, covar,
+    * regr_slope/intercept/r2) every profiling pipeline leans on; Spark and
+    * DuckDB both compute them with numerically-stable streaming updates,
+    * so they agree to well past the rounded digits. Single partial+final
+    * hash aggregate on a 3-value key — one bounded shuffle at any scale.
+    *
+    * Rounding note: slope/intercept are O(1)/O(1e2) magnitudes, corr/r2
+    * are in [-1,1]; 6 digits keeps both far above the engines' ulp-level
+    * summation differences. */
+  val q44 = Q("q44_regression_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40, q41)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40, q41,
+    q44)
 }

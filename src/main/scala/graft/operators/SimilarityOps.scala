@@ -828,5 +828,58 @@ object SimilarityOps {
       ORDER BY rank"""
   }
 
-  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  // ---------------------------------------------------------------- s11
+  /** kNN label classification: predict each probe vector's label by
+    * majority vote among its 10 nearest cosine neighbors (ties broken by
+    * smaller label id — deterministic). The retrieval stage is exactly the
+    * s01 broadcast-probe shape — the corpus streams once past an in-memory
+    * probe table, no corpus shuffle — and the vote is a bounded aggregate
+    * on (query, label). At scale the retrieval swaps for the s03 IVF probe
+    * with the vote unchanged; this exact variant doubles as its oracle. */
+  val s11 = Q("s11_knn_classify",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val topk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      val vote = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(topk))
+        .filter(col("rn") <= 10)
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(vote))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+      topk AS (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored),
+      votes AS (
+        SELECT query_id, label, count(*) AS votes
+        FROM topk WHERE rn <= 10
+        GROUP BY query_id, label),
+      win AS (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS rk
+        FROM votes)
+      SELECT query_id, label AS predicted_label, votes
+      FROM win WHERE rk = 1
+      ORDER BY query_id"""))
+
+  val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+    s11)
 }

@@ -999,6 +999,55 @@ object TextOps {
       GROUP BY source
       ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t23
+  /** Linear (fastText-style) quality classifier: per-token weights, a
+    * logistic link, and a 0.5 decision threshold. This is how production
+    * corpus filters actually score documents — a learned linear model
+    * applied at scan speed. The model lives in a broadcast weight table
+    * (12 rows here; real vocabularies of ~1M rows still broadcast), so
+    * the corpus side streams through explode→broadcast-join→partial-sum
+    * with ONE shuffle on doc_id and no driver-side anything. Docs with no
+    * in-vocabulary tokens still score (left join, bias only). */
+  private val clfWeights: Seq[(String, Double)] = Seq(
+    "spark" -> 0.8, "data" -> 0.5, "query" -> 0.6, "join" -> 0.4,
+    "window" -> 0.3, "stream" -> 0.3, "table" -> 0.2, "batch" -> 0.1,
+    "slow" -> -0.7, "small" -> -0.4, "noise" -> -0.6, "the" -> -0.15)
+  private val clfBias = -0.2
+
+  val t23 = Q("t23_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val w = broadcast(clfWeights.toDF("token", "wt"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokensExpr).as("token"))
+      val z = tok.join(w, "token")
+        .groupBy("doc_id").agg(sum("wt").as("sw"))
+      docs(s, dir).select("doc_id")
+        .join(z, Seq("doc_id"), "left")
+        .withColumn("zv", lit(clfBias) + coalesce(col("sw"), lit(0.0)))
+        .select(col("doc_id"),
+          round(expr("1.0 / (1.0 + exp(-zv))"), 6).as("score"),
+          (expr("1.0 / (1.0 + exp(-zv))") >= 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w(token, wt) AS (VALUES
+        ('spark', 0.8), ('data', 0.5), ('query', 0.6), ('join', 0.4),
+        ('window', 0.3), ('stream', 0.3), ('table', 0.2), ('batch', 0.1),
+        ('slow', -0.7), ('small', -0.4), ('noise', -0.6), ('the', -0.15)),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      z AS (
+        SELECT t.doc_id, sum(CAST(w.wt AS DOUBLE)) AS sw
+        FROM tok t JOIN w ON t.token = w.token
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             round(1.0 / (1.0 + exp(-(-0.2 + coalesce(z.sw, 0)))), 6) AS score,
+             1.0 / (1.0 + exp(-(-0.2 + coalesce(z.sw, 0)))) >= 0.5 AS keep
+      FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
