@@ -707,6 +707,43 @@ object EventOps {
       GROUP BY user_id, grp
       ORDER BY user_id, start_day"""))
 
+  // ---------------------------------------------------------------- e17
+  /** Mergeable distinct-count sketches (Datasketches HLL) — the rollup
+    * primitive a 100 TB lake lives on: per-day sketches persist once,
+    * any coarser rollup is a register-max union of the small binary
+    * sketches, never a re-scan of the raw data. The invariant that makes
+    * that sound is pinned IN the result: HLL union is register-wise max,
+    * so estimate(union(daily sketches)) must equal estimate(direct
+    * sketch over all days) BIT-EXACTLY (`merge_exact`), and the estimate
+    * must sit within 5% of the exact distinct (`est_ok`; lgK=12 ⇒ ~0.8%
+    * rse, so 5% is a loose deterministic gate at these cardinalities).
+    * The oracle states both booleans as TRUE plus the exact count — the
+    * driver's hash compare turns sketch-accuracy into a hard gate. */
+  val e17 = Q("e17_sketch_distinct",
+    (s, dir) => {
+      val base = ev(s, dir).select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"))
+      val daily = base.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+      val direct = base.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"))
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_direct") - col("exact_users")) / col("exact_users") <= 0.05)
+            .as("est_ok"),
+          (col("est_merged") === col("est_direct")).as("merge_exact"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             TRUE AS est_ok, TRUE AS merge_exact
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16)
+    e11, e12, e13, e14, e15, e16, e17)
 }
