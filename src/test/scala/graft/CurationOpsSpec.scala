@@ -163,8 +163,11 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("o_custkey", "version", "o_orderstatus", "valid_from",
         "valid_to", "is_current", "n_orders")
       .collect()
+      // o_orderdate-derived columns are TimestampType since Tables.adapt
+      // canonicalizes the time family; compare the date part.
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getDate(3).toString, Option(r.getDate(4)).map(_.toString),
+        r.getTimestamp(3).toLocalDateTime.toLocalDate.toString,
+        Option(r.getTimestamp(4)).map(_.toLocalDateTime.toLocalDate.toString),
         r.getBoolean(5), r.getLong(6)))
       .toSeq
     assert(got == Seq(

@@ -45,6 +45,22 @@ class PlanGuardSpec extends AnyFunSuite {
     "g03_ppr_redistribute") // 1-row dangling-mass aggregate attach
 
   test("no CartesianProduct in any catalog plan; BNL only where whitelisted") {
+    // Other suites legitimately flip this on the shared session (forcing
+    // SMJ to pin bucketed plans); with broadcast disabled every bounded
+    // theta join degrades to CartesianProduct and this guard would fire
+    // on suite ORDER, not on code. Pin the production default, restore
+    // after.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "10485760")
+    try runGuard()
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def runGuard(): Unit = {
     val failures = Queries.all.flatMap { q =>
       try {
         val plan = q.build(spark, sf).queryExecution
