@@ -188,15 +188,7 @@ object EventOps {
     * the driver gate checks the custom physical operator end to end. */
   val e06 = Q("e06_asof_native",
     (s, dir) => {
-      val e = ev(s, dir)
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
-        // alias right-side columns: fresh attribute ids (both sides derive
-        // from the same scan) and no name collisions in the joined output
-        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
-          col("click_id"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val (purchases, clicks) = asofFrames(s, dir)
       graft.plans.AsOf.join(purchases, clicks,
           leftKey = "user_id", rightKey = "c_user_id",
           leftTime = "ts", rightTime = "c_ts")
@@ -744,6 +736,90 @@ object EventOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Shared shape for the directional as-of joins (e06/e18/e19):
+    * purchases (left) matched against the deduped click timeline. */
+  private def asofFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    (purchases, clicks)
+  }
+
+  // ---------------------------------------------------------------- e18
+  /** Forward as-of: each purchase matched to the EARLIEST click at or
+    * after it (post-purchase engagement). Same native one-pass merge as
+    * e06 — the consumption frontier is direction-independent, so forward
+    * costs exactly what backward does: one co-partitioning shuffle per
+    * side, O(1) merge state. Oracle: DuckDB ASOF with the inequality
+    * flipped. */
+  val e18 = Q("e18_asof_forward",
+    (s, dir) => {
+      val (purchases, clicks) = asofFrames(s, dir)
+      graft.plans.AsOf.join(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user_id",
+          leftTime = "ts", rightTime = "c_ts", direction = "forward")
+        .filter(col("click_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id").as("next_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             c.click_id AS next_click
+      FROM purchases p
+      ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY purchase_id"""))
+
+  // ---------------------------------------------------------------- e19
+  /** Nearest as-of: each purchase matched to the click CLOSEST in time,
+    * ties to the earlier click (pandas merge_asof direction='nearest').
+    * The right side is unique per (user, ts) — e06's dedup — so backward
+    * and forward each contribute at most one candidate and the tie rule
+    * is total. Oracle: join + row_number over (|Δt|, backward-first) —
+    * quadratic per user in DuckDB, one-pass in the native operator. */
+  val e19 = Q("e19_asof_nearest",
+    (s, dir) => {
+      val (purchases, clicks) = asofFrames(s, dir)
+      graft.plans.AsOf.join(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user_id",
+          leftTime = "ts", rightTime = "c_ts", direction = "nearest")
+        .filter(col("click_id").isNotNull)
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id").as("nearest_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'),
+      ranked AS (
+        SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+               row_number() OVER (PARTITION BY p.purchase_id ORDER BY
+                 abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                 CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+        FROM purchases p JOIN clicks c ON p.user_id = c.user_id)
+      SELECT purchase_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             click_id AS nearest_click
+      FROM ranked WHERE rn = 1
+      ORDER BY purchase_id"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19)
 }

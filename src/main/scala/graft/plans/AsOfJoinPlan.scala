@@ -35,7 +35,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,8 +49,8 @@ case class AsOfJoin(
 /** Plans the logical AsOfJoin to its physical operator. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), dir) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +61,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -92,6 +94,16 @@ case class AsOfJoinExec(
       s"asof join: unorderable runtime values $a / $b")
   }
 
+  /** |a − b| as double, for the nearest direction's distance comparison.
+    * Time values reaching here are numeric at runtime (timestamp → micros
+    * long, date → days int; AsOf.join rejects string times for nearest). */
+  private def dist(a: Any, b: Any): Double = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      math.abs(x.doubleValue() - y.doubleValue())
+    case _ => throw new IllegalStateException(
+      s"asof nearest: non-numeric time values $a / $b")
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -114,13 +126,24 @@ case class AsOfJoinExec(
       // One-row lookahead over the right side; `cand` is the latest right
       // row whose (key, time) is <= the current left (key, time) — the only
       // state the merge keeps, copied out of the iterator's reused buffer.
+      //
+      // The SAME consumption frontier serves every direction: a consumed
+      // row has (rk < lk) or (rk == lk && rt <= lt), and since left rows
+      // arrive in ascending (key, time), no future left row can need a
+      // consumed row as its forward match (its time floor only rises).
+      // Backward reads `cand`; forward reads the unconsumed `rHead` (the
+      // FIRST same-key row strictly after lt, or `cand` itself when
+      // rt == lt); nearest picks whichever side is closer, ties backward.
       var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
       var candRow: InternalRow = null
       var candKey: Any = null
+      var candTime: Any = null
+      val dir = direction
 
       lIt.map { lrow =>
         val lkV = lKeyE.eval(lrow)
         val ltV = lTimeE.eval(lrow)
+        var fwdRow: InternalRow = null
         if (lkV != null && ltV != null) {
           var scanning = true
           while (scanning && rHead != null) {
@@ -134,14 +157,31 @@ case class AsOfJoinExec(
                 if (c == 0) {
                   candRow = rHead.copy()
                   candKey = rKeyE.eval(candRow)
+                  candTime = rTimeE.eval(candRow)
                 }
                 rHead = if (rIt.hasNext) rIt.next() else null
-              } else scanning = false
+              } else {
+                if (c == 0) fwdRow = rHead // same key, strictly after lt
+                scanning = false
+              }
             }
           }
         }
-        val matched = lkV != null && candRow != null && cmp(candKey, lkV) == 0
-        proj(joined(lrow, if (matched) candRow else nullRight))
+        val backRow =
+          if (lkV != null && candRow != null && cmp(candKey, lkV) == 0) candRow
+          else null
+        val chosen = dir match {
+          case "backward" => backRow
+          case "forward" =>
+            // rt == lt is a forward match too, and it lives in `cand`
+            if (backRow != null && cmp(candTime, ltV) == 0) backRow else fwdRow
+          case "nearest" =>
+            if (backRow == null) fwdRow
+            else if (fwdRow == null) backRow
+            else if (dist(ltV, candTime) <= dist(rTimeE.eval(fwdRow), ltV)) backRow
+            else fwdRow
+        }
+        proj(joined(lrow, if (chosen != null) chosen else nullRight))
       }
     }
   }
@@ -160,10 +200,21 @@ object AsOf {
   /** `left ASOF JOIN right ON left.keyCol = right.keyCol AND
     * left.timeCol >= right.timeCol` (left-outer). Column names must be
     * unique per side; the two sides must not share attribute ids (alias
-    * the right side's columns if both derive from the same scan). */
+    * the right side's columns if both derive from the same scan).
+    *
+    * `direction`:
+    *   - "backward" (default): latest right row at or before the left time;
+    *   - "forward": earliest right row at or after the left time;
+    *   - "nearest": whichever of the two is closer in time, ties backward
+    *     (numeric/timestamp/date times only — strings have no distance).
+    * Same plan shape for all three: co-partitioned, sorted, one-pass,
+    * O(1) state. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof join: unknown direction '$direction'")
     val spark = left.sparkSession
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(right)
@@ -184,6 +235,8 @@ object AsOf {
       require(Orderable.contains(a.dataType.typeName),
         s"asof join: ${a.name} has unorderable type ${a.dataType.simpleString}")
     }
-    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime))
+    require(direction != "nearest" || lTime.dataType.typeName != "string",
+      "asof join: nearest needs a numeric/timestamp/date time column")
+    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime, direction))
   }
 }

@@ -116,4 +116,61 @@ class AsOfPlanSpec extends AnyFunSuite {
       AsOf.join(l, l, "k", "k", "t", "t") // same plan on both sides
     }
   }
+
+  test("forward direction: earliest right at or after, equal time matches") {
+    val got = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts",
+        direction = "forward")
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 5L, "q1-10"),
+      (1L, 10L, "q1-10"), // tie: >= matches
+      (1L, 25L, "q1-30"),
+      (1L, 99L, null), // after the last quote
+      (2L, 14L, "q2-15"),
+      (2L, 16L, null),
+      (3L, 50L, null)))
+  }
+
+  test("nearest direction: closest in time, ties to the earlier right row") {
+    import spark.implicits._
+    val q = Seq((1L, 10L, "early"), (1L, 20L, "late"))
+      .toDF("q_sym", "q_ts", "quote")
+    val t = Seq((1L, 12L), (1L, 15L), (1L, 18L), (1L, 3L), (1L, 40L))
+      .toDF("sym", "ts")
+    val got = AsOf.join(t, q, "sym", "q_sym", "ts", "q_ts",
+        direction = "nearest")
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(
+      12L -> "early", // |12-10| < |20-12|
+      15L -> "early", // equidistant → backward wins
+      18L -> "late",
+      3L -> "early",  // only a forward candidate
+      40L -> "late")) // only a backward candidate
+  }
+
+  test("all three directions agree when exactly one candidate exists per left row") {
+    import spark.implicits._
+    val q = Seq((1L, 10L, "only")).toDF("q_sym", "q_ts", "quote")
+    val t = Seq((1L, 10L)).toDF("sym", "ts")
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val r = AsOf.join(t, q, "sym", "q_sym", "ts", "q_ts", direction = d)
+        .select("quote").collect().map(_.getString(0)).toSeq
+      assert(r == Seq("only"), s"direction $d")
+    }
+  }
+
+  test("nearest rejects string time columns; unknown direction rejected") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "t")
+    val r = Seq((2L, "b")).toDF("k2", "t2")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "k2", "t", "t2", direction = "nearest")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "k2", "t", "t2", direction = "sideways")
+    }
+  }
 }
