@@ -34,21 +34,36 @@ object MultimodalOps {
 
     final case class Features(width: Int, height: Int, mean_byte: Double, format: String)
 
-    /** Render a seed into a tiny grayscale PNG (8–31 px per side). */
+    /** Render a seed into a tiny grayscale PNG (8–31 px per side).
+      *
+      * The raster is a counter-mode md5 expansion: pixel block j is
+      * md5(seed ‖ ":" ‖ ascii(j)). Counter mode (rather than chaining
+      * raw digests) is deliberate: DuckDB's md5 is VARCHAR-only, so this
+      * exact raster — and therefore the decoded features — replays in
+      * the SQL oracle as md5(text || ':' || j), which is what upgrades
+      * m02 from rows-only to a full hash gate. */
     def encodePng(seed: Array[Byte]): Array[Byte] = {
       val w = 8 + (seed.headOption.map(b => b & 0xFF).getOrElse(0) % 24)
       val h = 8 + (seed.lastOption.map(b => b & 0xFF).getOrElse(0) % 24)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val md = java.security.MessageDigest.getInstance("MD5")
-      var block = md.digest(seed)
-      var bi = 0
+      var block: Array[Byte] = null
+      var bi = 16
+      var j = 0
       val raster = img.getRaster
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          if (bi == block.length) { block = md.digest(block); bi = 0 }
+          if (bi == 16) {
+            md.reset()
+            md.update(seed)
+            md.update((":" + j).getBytes("UTF-8"))
+            block = md.digest()
+            j += 1
+            bi = 0
+          }
           raster.setSample(x, y, 0, block(bi) & 0xFF)
           bi += 1
           x += 1
@@ -78,8 +93,9 @@ object MultimodalOps {
         }
         y += 1
       }
-      val mean = sum.toDouble / (w.toLong * h)
-      Features(w, h, math.round(mean * 100) / 100.0, "png")
+      // raw mean — rounding happens at the query layer so Spark's and
+      // the oracle's round() see the identical exact quotient
+      Features(w, h, sum.toDouble / (w.toLong * h), "png")
     }
   }
 
@@ -131,9 +147,37 @@ object MultimodalOps {
           (id, source, f.width, f.height, f.mean_byte, f.format)
         }
       }.toDF("doc_id", "source", "width", "height", "mean_byte", "format")
+        .withColumn("mean_byte", round(col("mean_byte"), 4))
         .orderBy("doc_id")
     },
-    None)
+    // The oracle replays the whole pipeline in SQL: the counter-mode
+    // raster (md5(text||':'||j), hex pairs → bytes) IS the image the
+    // real PNG round-trip must reproduce losslessly, so the decoded
+    // width/height/mean hash-match an engine with no image codec at all.
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, text,
+               8 + (ascii(substr(text, 1, 1)) % 24) AS w,
+               8 + (ascii(substr(text, length(text), 1)) % 24) AS h
+        FROM documents),
+      blocks AS (
+        -- range() takes no lateral params; 61 = ceil(31*31/16) covers the
+        -- largest possible raster, the WHERE trims per doc
+        SELECT doc_id, source, w, h, j,
+               md5(text || ':' || CAST(j AS VARCHAR)) AS hx
+        FROM base, range(61) t(j)
+        WHERE j * 16 < w * h),
+      px AS (
+        SELECT b.doc_id, b.source, b.w, b.h,
+               (strpos('0123456789abcdef', substr(b.hx, 2*p.p+1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(b.hx, 2*p.p+2, 1)) - 1 AS v
+        FROM blocks b, range(16) p(p)
+        WHERE b.j * 16 + p.p < b.w * b.h)
+      SELECT doc_id, source, w AS width, h AS height,
+             round(sum(v) / (w * h), 4) AS mean_byte, 'png' AS format
+      FROM px
+      GROUP BY doc_id, source, w, h
+      ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- m03
   /** Video frame sampling: one row per sampled frame of each payload.

@@ -276,28 +276,31 @@ class OpsGoldenSpec extends AnyFunSuite {
       .getBytes("UTF-8")
     val f = graft.operators.MultimodalOps.ImageCodec.decode(
       graft.operators.MultimodalOps.ImageCodec.encodePng(seed))
+    // the query rounds the raw decoded mean to 4 digits (oracle parity)
+    val rounded = BigDecimal(f.mean_byte)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r0.getInt(2) == f.width && r0.getInt(3) == f.height &&
-      r0.getDouble(4) == f.mean_byte && r0.getString(5) == "png")
+      r0.getDouble(4) == rounded && r0.getString(5) == "png")
     assert(f.width >= 8 && f.width < 32 && f.height >= 8 && f.height < 32)
   }
 
   test("ImageCodec decode rejects non-image bytes and round-trips pixel truth") {
     import graft.operators.MultimodalOps.ImageCodec
     // pixel-level truth: decode(encode(seed)) must reproduce the exact
-    // md5-expanded raster mean, PNG grayscale being lossless
+    // counter-mode md5-expanded raster mean, PNG grayscale being lossless
     val seed = Array[Byte](7, 42, -3, 99)
     val md = java.security.MessageDigest.getInstance("MD5")
     val w = 8 + ((seed.head & 0xFF) % 24)
     val h = 8 + ((seed.last & 0xFF) % 24)
-    var block = md.digest(seed)
-    var bi = 0
     var sum = 0L
-    (0 until w * h).foreach { _ =>
-      if (bi == block.length) { block = md.digest(block); bi = 0 }
-      sum += block(bi) & 0xFF
-      bi += 1
+    (0 until w * h).foreach { i =>
+      val j = i / 16
+      md.reset()
+      md.update(seed)
+      md.update((":" + j).getBytes("UTF-8"))
+      sum += md.digest()(i % 16) & 0xFF
     }
-    val wantMean = math.round(sum.toDouble / (w * h) * 100) / 100.0
+    val wantMean = sum.toDouble / (w * h)
     val f = ImageCodec.decode(ImageCodec.encodePng(seed))
     assert((f.width, f.height, f.mean_byte) == (w, h, wantMean))
     intercept[Exception] {
