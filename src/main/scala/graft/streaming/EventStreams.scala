@@ -77,6 +77,25 @@ object EventStreams {
       .agg(count(lit(1)).as("active_users"))
       .select(col("w.start").as("day_start"), col("active_users"))
 
+  /** Approximate daily distinct actives via a mergeable HLL sketch — the
+    * e17 rollup primitive running incrementally. The sketch's partial
+    * buffer IS the streaming state value, so state per window is a few
+    * KB regardless of user cardinality; [[dailyDistinctActives]]' exact
+    * dedup state grows with users × days inside the watermark, which at
+    * 100 TB event rates is the difference between a state store that
+    * fits and one that doesn't. Union-by-register-max makes the
+    * micro-batch merge order irrelevant: the streaming estimate is
+    * BIT-IDENTICAL to a batch sketch over the same rows (pinned in
+    * EventStreamsSpec). */
+  def dailyDistinctSketch(events: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .as("approx_users"))
+      .select(col("w.start").as("day_start"), col("approx_users"))
+
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
     * whenever a gap closes it; the open session stays in state. */

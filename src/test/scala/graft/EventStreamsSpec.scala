@@ -82,6 +82,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.map(_._2) == Set(2L))
   }
 
+  test("streaming HLL distinct sketch equals the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    // 60 users split across two micro-batches, some on both days
+    val batch1 = (1 to 40).map(u => Event(u, dayTs(1, u), u, "click", 1.0))
+    val batch2 = (20 to 60).map(u => Event(100 + u, dayTs(1, 400 + u), u, "view", 1.0)) ++
+      (1 to 10).map(u => Event(200 + u, dayTs(2, u), u, "click", 1.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dailyDistinctSketch(stream.toDF(), "1 day")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("daily_sketch").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    stream.addData(Event(999, dayTs(30, 0), 999, "click", 1.0)) // flush watermark
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("daily_sketch")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // union-by-register-max ⇒ the micro-batch split cannot change the
+    // estimate: it must equal a batch sketch over the same rows exactly
+    val want = (batch1 ++ batch2).toDF()
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("n"))
+      .select(col("w.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(got == want.filter(_._1.toString.startsWith("2024-01-0")))
+    // and at this cardinality the sketch is still in exact mode
+    assert(got(Timestamp.valueOf("2024-01-01 00:00:00")) === 60L)
+    assert(got(Timestamp.valueOf("2024-01-02 00:00:00")) === 10L)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
