@@ -1027,8 +1027,45 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q45
+  /** Running DISTINCT count over a window — `count(DISTINCT) OVER` is SQL
+    * the planner does not support, so this is the canonical rewrite: flag
+    * each part's earliest-in-time row (lag over a (part, time) sort), then
+    * a cumulative sum of flags in time order. At row r the flag sum counts
+    * exactly the parts whose first occurrence is ≤ r — the prefix-distinct
+    * definition. Both windows partition by the SAME key (l_suppkey), so
+    * the plan is ONE exchange and two in-partition sorts — no second
+    * shuffle, no per-row set state; DuckDB's native windowed DISTINCT is
+    * the oracle. The total order (shipdate, orderkey, linenumber) is
+    * unique, so both engines see identical prefixes. */
+  val q45 = Q("q45_running_distinct",
+    (s, dir) => {
+      val byPart = Window.partitionBy("l_suppkey")
+        .orderBy("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      val byTime = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .withColumn("first_flag",
+          when(lag("l_partkey", 1).over(byPart).isNull
+            || lag("l_partkey", 1).over(byPart) =!= col("l_partkey"), 1L)
+            .otherwise(0L))
+        .withColumn("distinct_parts", sum("first_flag").over(byTime))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("distinct_parts"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             count(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_parts
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40, q41,
-    q44)
+    q44, q45)
 }

@@ -80,6 +80,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q45's two windows share one hash exchange (same partition key)") {
+    val plan = Queries.byName("q45_running_distinct").build(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1,
+      s"expected ONE suppkey exchange feeding both window sorts, got $hashExchanges")
+    assert("(?s)Window.*Window".r.findFirstIn(plan).isDefined, "two window operators expected")
+  }
+
   test("whitelist carries no dead entries") {
     val names = Queries.all.map(_.name).toSet
     val dead = bnlWhitelist.filterNot(names)
