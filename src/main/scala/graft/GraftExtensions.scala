@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashAgg, TopKAgg}
+import graft.functions.{BitmapAndCardinality, BitmapCardinality, BitmapOrCardinality, CosineSimilarity, DenseBitmapAgg, JaccardSimilarity, MinHashAgg, TopKAgg}
 
 /** SparkSessionExtensions hook: registers the engine's native functions
   * for SQL use at session build time —
@@ -59,6 +59,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
         }
       }))
+    // dense_bitmap_agg(id BIGINT/INT, nBits INT literal) + bitmap
+    // cardinality arithmetic — the audience-store primitive; nBits must
+    // be a literal (it bounds the aggregation state).
+    e.injectFunction((
+      FunctionIdentifier("dense_bitmap_agg"),
+      new ExpressionInfo(classOf[DenseBitmapAgg].getName, "dense_bitmap_agg"),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        exprs match {
+          case Seq(child) => DenseBitmapAgg(child, 1 << 22).toAggregateExpression()
+          case Seq(child, Literal(n: Int, _: org.apache.spark.sql.types.IntegerType)) =>
+            DenseBitmapAgg(child, n).toAggregateExpression()
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"dense_bitmap_agg: nBits must be an integer literal, got ${other.sql}")
+          case other => throw new IllegalArgumentException(
+            s"dense_bitmap_agg takes 1-2 arguments (id[, nBits]), got ${other.size}")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_cardinality"),
+      new ExpressionInfo(classOf[BitmapCardinality].getName, "bitmap_cardinality"),
+      exprs => BitmapCardinality(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_and_cardinality"),
+      new ExpressionInfo(classOf[BitmapAndCardinality].getName, "bitmap_and_cardinality"),
+      exprs => BitmapAndCardinality(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bitmap_or_cardinality"),
+      new ExpressionInfo(classOf[BitmapOrCardinality].getName, "bitmap_or_cardinality"),
+      exprs => BitmapOrCardinality(exprs(0), exprs(1))))
     // topk_agg(sort, payload, k INT) — sort/payload take any orderable
     // atomic type (STRING/BIGINT/INT/DOUBLE/DATE/TIMESTAMP, checked by
     // the aggregate's own type check); k must be a literal (it bounds

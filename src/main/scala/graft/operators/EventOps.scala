@@ -820,6 +820,50 @@ object EventOps {
       FROM ranked WHERE rn = 1
       ORDER BY purchase_id"""))
 
+  // ---------------------------------------------------------------- e20
+  /** Retention via dense audience bitmaps — the EXACT sibling of e17's
+    * sketches: one bitmap per day (64 KB for this 1500-user domain;
+    * nBits/8 bytes in general) built in ONE partial-merge aggregate pass,
+    * then the whole retention curve is bit-AND arithmetic between
+    * kilobyte blobs — the raw event log is never re-shuffled per cohort
+    * question. e08 computes the same curve with per-day joins; this is
+    * the audience-store formulation that scales to thousands of stored
+    * segments. Oracle: exact distinct-join replay. */
+  val e20 = Q("e20_bitmap_retention",
+    (s, dir) => {
+      val bms = ev(s, dir)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day_s"),
+          col("user_id"))
+        .groupBy("day_s")
+        .agg(expr("dense_bitmap_agg(user_id, 2097152)").as("bm"))
+      val day0 = bms.orderBy("day_s").limit(1)
+        .select(col("bm").as("bm0"))
+      bms.crossJoin(broadcast(day0))
+        .select(col("day_s"),
+          expr("bitmap_and_cardinality(bm, bm0)").as("retained"),
+          expr("bitmap_cardinality(bm0)").as("cohort_size"))
+        .withColumn("rate", round(col("retained") / col("cohort_size"), 6))
+        .orderBy("day_s")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                                 '%Y-%m-%d') AS day_s, user_id
+        FROM events),
+      d0 AS (SELECT min(day_s) AS first_day FROM days),
+      cohort AS (
+        SELECT user_id FROM days, d0 WHERE day_s = first_day),
+      counts AS (
+        SELECT d.day_s,
+               count(c.user_id) AS retained,
+               (SELECT count(*) FROM cohort) AS cohort_size
+        FROM days d LEFT JOIN cohort c ON d.user_id = c.user_id
+        GROUP BY d.day_s)
+      SELECT day_s, retained, cohort_size,
+             round(retained / cohort_size, 6) AS rate
+      FROM counts
+      ORDER BY day_s"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20)
 }

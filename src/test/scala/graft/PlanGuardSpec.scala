@@ -42,7 +42,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "t14_quality_deciles_approx", // 1-row approx-quantile cuts attach
     "t18_mixture_sample",   // per-source keep-rate table (#sources rows)
     "s06_kmeans_lite",      // broadcast centroid table (k rows) per pass
-    "g03_ppr_redistribute") // 1-row dangling-mass aggregate attach
+    "g03_ppr_redistribute", // 1-row dangling-mass aggregate attach
+    "e20_bitmap_retention") // 1-row day-0 bitmap broadcast attach
 
   test("no CartesianProduct in any catalog plan; BNL only where whitelisted") {
     // Other suites legitimately flip this on the shared session (forcing
