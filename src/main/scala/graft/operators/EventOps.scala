@@ -864,6 +864,58 @@ object EventOps {
       FROM counts
       ORDER BY day_s"""))
 
+  // ---------------------------------------------------------------- e21
+  /** EWMA smoothing of the hourly volume series (α = 0.3) — a sequential
+    * recurrence (s_t = αx_t + (1−α)s_{t−1}) that looks iterative but runs
+    * as ONE `aggregate` fold over each type's sorted hourly array (the
+    * s10/e14 fold pattern): the series per key is bounded (hours in the
+    * window), the corpus-sized work is the e01-shaped count aggregate
+    * before it. Both engines execute the identical IEEE double sequence —
+    * Spark's fold and DuckDB's recursive CTE (literals forced to DOUBLE:
+    * DuckDB would otherwise do DECIMAL arithmetic and diverge in the last
+    * ulps) — so the hash gate holds at 6 digits without slack. */
+  val e21 = Q("e21_hourly_ewma",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_s"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hour_s"), col("n")))).as("xs"))
+        .select(col("event_type"), explode(expr("""
+          aggregate(xs,
+            cast(array() as array<struct<hour_s:string, ewma:double>>),
+            (acc, x) -> array_append(acc, named_struct('hour_s', x.hour_s,
+              'ewma',
+              CASE WHEN size(acc) = 0 THEN cast(x.n AS double)
+                   ELSE 0.3d * x.n + 0.7d * element_at(acc, -1).ewma END)))
+          """)).as("e"))
+        .select(col("event_type"), col("e.hour_s").as("hour_s"),
+          round(col("e.ewma"), 6).as("ewma"))
+        .orderBy("event_type", "hour_s")
+    },
+    Some("""
+      WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_s,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT event_type, hour_s, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour_s) AS rn
+        FROM hourly),
+      ew AS (
+        SELECT event_type, hour_s, rn, CAST(n AS DOUBLE) AS ewma
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.hour_s, s.rn,
+               0.3::DOUBLE * s.n + 0.7::DOUBLE * e.ewma
+        FROM seq s JOIN ew e
+          ON s.event_type = e.event_type AND s.rn = e.rn + 1)
+      SELECT event_type, hour_s, round(ewma, 6) AS ewma
+      FROM ew
+      ORDER BY event_type, hour_s"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
 }

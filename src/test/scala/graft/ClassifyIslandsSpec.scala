@@ -104,6 +104,26 @@ class ClassifyIslandsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- e21
+  test("e21 EWMA fold equals a driver-side replay of the recurrence") {
+    import org.apache.spark.sql.functions._
+    val got = Queries.byName("e21_hourly_ewma").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val hourly = Tables.df(spark, sf, "events")
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      var s = Double.NaN
+      rows.sortBy(_._2).toSeq.map { case (_, h, n) =>
+        s = if (s.isNaN) n.toDouble else 0.3d * n + 0.7d * s
+        (et, h) -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   // ------------------------------------------------------------- q44
   test("q44 co-moment identities: r2 = corr^2 and intercept = avg(y) - slope*avg(x)") {
     import org.apache.spark.sql.functions._
