@@ -1048,6 +1048,49 @@ object TextOps {
       FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- t24
+  /** Exact heavy hitters via Misra–Gries two-pass — every token whose true
+    * frequency exceeds total/(k+1), with its EXACT count, without ever
+    * shuffling the token key space. Pass 1 reduces each map task to a
+    * ≤ k-counter summary ([[graft.functions.MisraGriesAgg]] — the only
+    * shuffled bytes are O(k) per task); the deficit bound guarantees the
+    * summary's keys are a superset of the true heavy hitters. Pass 2
+    * broadcast-joins the ≤ k candidate strings back against the token
+    * stream and counts ONLY them exactly (the groupBy key domain is ≤ k,
+    * so the exchange is trivially narrow at any corpus size). t01 answers
+    * the same question by exact full-histogram count — correct but
+    * key-cardinality-wide; this is the 100 TB-shaped formulation.
+    *
+    * k = 30 < the fixture's 31-token vocabulary, so the MG decrement path
+    * (the part the guarantee rests on) genuinely fires here; MisraGriesSpec
+    * pins the superset guarantee and merge on adversarial/skewed streams. */
+  private val hhK = 30
+
+  val t24 = Q("t24_heavy_hitters",
+    (s, dir) => {
+      val tok = docs(s, dir).select(explode(tokensExpr).as("word"))
+      val cand = tok
+        .agg(graft.functions.MisraGriesAgg.mg_sketch(col("word"), hhK).as("sk"))
+        .select(col("sk.total").as("total"), explode(col("sk.keys")).as("word"))
+      tok.join(broadcast(cand), "word")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), max("total").as("total"))
+        .where(col("cnt") > col("total") / lit((hhK + 1).toDouble))
+        .select(col("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT word
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''),
+      tot AS (SELECT count(*) AS n FROM t)
+      SELECT word, count(*) AS cnt
+      FROM t
+      GROUP BY word
+      HAVING count(*) > (SELECT n FROM tot) / ${(hhK + 1).toDouble}
+      ORDER BY cnt DESC, word"""))
+
   val queries: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
