@@ -1064,8 +1064,83 @@ object Relational {
       FROM lineitem
       ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
+  // ---------------------------------------------------------------- q46
+  /** Z-order data layout: range-normalize each clustering key to a
+    * [[zBits]]-bit bucket, interleave the buckets into one Morton code,
+    * bin rows into equal-width z-ranges ("files"), and report per-file
+    * min/max key stats — the layout job that makes a 100 TB table
+    * skippable on BOTH dimensions at once (a partkey-sorted layout prunes
+    * partkey probes but scans everything for suppkey probes; z-order
+    * keeps each file a small rectangle in (part, supp) space, so either
+    * dimension's min/max stats prune).
+    *
+    * The per-column normalization is load-bearing, not cosmetic: raw-bit
+    * interleave degrades toward a plain sort on whichever column has more
+    * significant bits (TPC-H partkey has ~2× suppkey's bits, and the
+    * first cut of this query measurably stopped pruning suppkey probes).
+    * Scaling both columns to the same width — `(v << zBits) div (max+1)`,
+    * the integer-arithmetic stand-in for the per-column range-bucketing
+    * real z-order writers use — restores the balanced quadtree. After
+    * normalization the z domain is exactly [0, 2^(2·zBits)), so file
+    * assignment is a plain shift, no data-dependent boundary.
+    *
+    * Scale shape: one bounded agg for the two column maxes (a real writer
+    * samples range boundaries instead), broadcast-attached; then the
+    * interleave is a 40-term shift/mask expression inside whole-stage
+    * codegen riding the scan, and the stats agg groups on ≤ [[zFiles]]
+    * keys. ZOrderSpec pins the interleave bit math and quantifies the
+    * pruning win over an insertion-order layout on both dimensions; the
+    * DuckDB oracle executes the identical unrolled integer formula. */
+  private val zBits = 10
+  private val zFiles = 64
+
+  /** Morton interleave of two zBits-wide values: bit i of `even` →
+    * position 2i, bit i of `odd` → position 2i+1. */
+  private[graft] def zOrder(even: Column, odd: Column): Column =
+    (0 until zBits).map { i =>
+      shiftleft(shiftright(even, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(odd, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zOrderSql(even: String, odd: String): String =
+    (0 until zBits).map { i =>
+      s"((($even >> $i) & 1) << ${2 * i}) | ((($odd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  val q46 = Q("q46_zorder_layout",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val mx = li.agg(max("l_partkey").as("maxp"), max("l_suppkey").as("maxs"))
+      li.crossJoin(broadcast(mx))
+        .withColumn("pb", expr(s"(l_partkey * ${1 << zBits}) div (maxp + 1)"))
+        .withColumn("sb", expr(s"(l_suppkey * ${1 << zBits}) div (maxs + 1)"))
+        .withColumn("z", zOrder(col("pb"), col("sb")))
+        .withColumn("file_id", expr(s"z div ${(1L << (2 * zBits)) / zFiles}"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("cnt"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("file_id")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs FROM lineitem),
+      z AS (
+        SELECT l_partkey, l_suppkey,
+               ${zOrderSql(
+                 s"((l_partkey * ${1 << zBits}) // (m.maxp + 1))",
+                 s"((l_suppkey * ${1 << zBits}) // (m.maxs + 1))")} AS z
+        FROM lineitem, m)
+      SELECT z // ${(1L << (2 * zBits)) / zFiles} AS file_id,
+             count(*) AS cnt,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+      FROM z
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q36, q37, q38, q39, q40, q41,
-    q44, q45)
+    q44, q45, q46)
 }
