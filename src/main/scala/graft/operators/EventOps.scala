@@ -916,6 +916,64 @@ object EventOps {
       FROM ew
       ORDER BY event_type, hour_s"""))
 
+  // ---------------------------------------------------------------- e22
+  /** Incremental materialized-view maintenance: a per-(event_type, day)
+    * rollup kept as MERGEABLE state — count, sum, min, max, and an HLL
+    * user sketch — so when tonight's delta lands, the view updates by
+    * merging the delta's partial states into the stored ones instead of
+    * rescanning the 100 TB base. Count/sum merge by +, min/max by
+    * min/max, distinct by register-max sketch union (e17's primitive);
+    * avg would ride as (sum, count). The query splits the fixture by
+    * event_id parity into a "stored" half and a "delta" half, maintains
+    * the view incrementally, and proves merge ≡ full recompute per group:
+    * exact equality for the arithmetic state, bit-equality for the
+    * sketch union (associativity of register max), boolean-gated so the
+    * DuckDB full-recompute oracle hash-enforces it. Sums compare ROUNDED
+    * (1e-6): partial-sum merge order differs from the direct scan's, and
+    * IEEE addition is not associative — exactly the tolerance a real
+    * incremental pipeline must declare.
+    *
+    * Scale shape: each state() is one partial-agg pass over its input;
+    * the merge is a union of two bounded (type × day) state tables
+    * re-aggregated on the same key — the stored side's size is the VIEW's
+    * cardinality, not the fact table's. */
+  val e22 = Q("e22_incremental_rollup",
+    (s, dir) => {
+      val base = ev(s, dir).select(col("event_type"), col("user_id"),
+        col("value"), to_date(col("ts")).as("day"), col("event_id"))
+      def state(df: DataFrame): DataFrame = df.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
+          min("value").as("lo"), max("value").as("hi"),
+          expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val stored = state(base.filter(col("event_id") % 2 === 0))
+      val delta = state(base.filter(col("event_id") % 2 === 1))
+      val view = stored.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(sum("cnt").as("m_cnt"), sum("total").as("m_total"),
+          min("lo").as("m_lo"), max("hi").as("m_hi"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("m_est"))
+      val direct = state(base)
+        .select(col("event_type"), col("day"), col("cnt"), col("total"),
+          col("lo"), col("hi"),
+          expr("hll_sketch_estimate(sk)").as("d_est"))
+      direct.join(view, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("total"), 6).as("total"), col("lo"), col("hi"),
+          (col("m_cnt") === col("cnt") && col("m_lo") === col("lo")
+            && col("m_hi") === col("hi")
+            && round(col("m_total"), 6) === round(col("total"), 6))
+            .as("arith_merge_exact"),
+          (col("m_est") === col("d_est")).as("sketch_merge_exact"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+             round(sum(value), 6) AS total, min(value) AS lo, max(value) AS hi,
+             TRUE AS arith_merge_exact, TRUE AS sketch_merge_exact
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }
