@@ -89,6 +89,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bitmap_or_cardinality"),
       new ExpressionInfo(classOf[BitmapOrCardinality].getName, "bitmap_or_cardinality"),
       exprs => BitmapOrCardinality(exprs(0), exprs(1))))
+    // mg_sketch(key STRING, k INT literal) — Misra–Gries heavy-hitter
+    // candidate summary (STRUCT<total, keys>); k must be a literal (it
+    // bounds the aggregation state).
+    e.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName, "mg_sketch"),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        exprs match {
+          case Seq(child, Literal(k: Int, _: org.apache.spark.sql.types.IntegerType)) =>
+            graft.functions.MisraGriesAgg(child, k).toAggregateExpression()
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"mg_sketch: k must be an integer literal, got ${other.sql}")
+          case other => throw new IllegalArgumentException(
+            s"mg_sketch takes 2 arguments (key, k), got ${other.size}")
+        }
+      }))
     // topk_agg(sort, payload, k INT) — sort/payload take any orderable
     // atomic type (STRING/BIGINT/INT/DOUBLE/DATE/TIMESTAMP, checked by
     // the aggregate's own type check); k must be a literal (it bounds

@@ -225,5 +225,52 @@ object ValidateOps {
       FROM t
       ORDER BY bin"""))
 
-  val queries: Seq[Q] = Seq(v01, v02, v03, v04)
+  // ---------------------------------------------------------------- v05
+  /** Order-independent table fingerprint — the replica-equality check: a
+    * 60-bit XOR of per-row md5 digests answers "are these two copies of
+    * the table identical?" in one scan per copy and eight bytes over the
+    * wire, with NO sort anywhere (XOR is commutative/associative, so the
+    * fingerprint is invariant to row order, partitioning, and file
+    * split — exactly the things that DO differ between replicas of the
+    * same 100 TB table). The query fingerprints lineitem, a repartitioned
+    * replica (must match), and a single-bit-corrupted replica (must
+    * differ), emitting the verdicts as oracle-enforced booleans.
+    *
+    * The fingerprint covers the integer/string columns: their text
+    * rendering is engine-portable, which is what lets DuckDB reproduce
+    * the exact 60-bit value. A production fingerprint widens to all
+    * columns behind a canonical value encoding (IEEE bits for doubles,
+    * epoch micros for timestamps) — the XOR-of-row-digests shape is
+    * unchanged. 15 hex chars = 60 bits keeps the value exact in both
+    * engines' BIGINT (and safely clear of double-precision coercions). */
+  val v05 = Q("v05_table_fingerprint",
+    (s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      val rowFp = expr("cast(conv(substring(md5(concat_ws('|', " +
+        cols.mkString(", ") + ")), 1, 15), 16, 10) as bigint)")
+      def fp(df: DataFrame, n: String, f: String): DataFrame =
+        df.agg(count(lit(1)).as(n), bit_xor(rowFp).as(f))
+      val base = Tables.df(s, dir, "lineitem").select(cols.map(col): _*)
+      val replica = base.repartition(13)
+      val corrupted = base.withColumn("l_partkey",
+        when(col("l_orderkey") % 2 === 0, col("l_partkey") + 1)
+          .otherwise(col("l_partkey")))
+      fp(base, "n_rows", "fp")
+        .crossJoin(broadcast(fp(replica, "n2", "fp2")))
+        .crossJoin(broadcast(fp(corrupted, "n3", "fp3")))
+        .select(col("n_rows"), col("fp"),
+          (col("fp") === col("fp2") && col("n_rows") === col("n2"))
+            .as("replica_equal"),
+          (col("fp") =!= col("fp3")).as("corruption_detected"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+               l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)) AS fp,
+             TRUE AS replica_equal, TRUE AS corruption_detected
+      FROM lineitem"""))
+
+  val queries: Seq[Q] = Seq(v01, v02, v03, v04, v05)
 }

@@ -96,6 +96,26 @@ object EventStreams {
         .as("approx_users"))
       .select(col("w.start").as("day_start"), col("approx_users"))
 
+  /** Per-day heavy-hitter CANDIDATES under a watermark — the streaming
+    * twin of t24's Misra–Gries pass 1. The MG counter table is the
+    * state-store value, so per-window state is O(k) regardless of key
+    * cardinality (a naive per-key count would grow state with the key
+    * space); each micro-batch folds in via the aggregate's merge path.
+    * Unlike the HLL sketch, an MG summary below the n/(k+1) threshold IS
+    * merge-order-sensitive, so the streaming contract is the guarantee,
+    * not bit-equality: every key with in-window frequency > total/(k+1)
+    * appears among the ≤ k candidates, and `total` is exact. A batch
+    * second pass over the closed window turns candidates into exact
+    * counts, as in t24. */
+  def dailyHeavyHitterSketch(events: DataFrame, k: Int = 8,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"mg_sketch(event_type, $k)").as("sk"))
+      .select(col("w.start").as("day_start"),
+        col("sk.total").as("total"), col("sk.keys").as("candidates"))
+
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
     * whenever a gap closes it; the open session stays in state. */

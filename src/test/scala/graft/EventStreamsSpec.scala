@@ -118,6 +118,41 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got(Timestamp.valueOf("2024-01-02 00:00:00")) === 10L)
   }
 
+  test("streaming MG heavy-hitter candidates keep the guarantee across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    // Day 1: "click" (60) and "view" (30) are heavy among 6 types (n=102,
+    // threshold with k=3 is 25.5); the tail types force MG decrements and
+    // the micro-batch split exercises the merge recut.
+    val day1 = (1 to 60).map(i => Event(i, dayTs(1, i), i, "click", 1.0)) ++
+      (1 to 30).map(i => Event(100 + i, dayTs(1, 200 + i), i, "view", 1.0)) ++
+      Seq("a", "b", "c", "d").zipWithIndex.flatMap { case (t, j) =>
+        (1 to 3).map(i => Event(200L + j * 10 + i, dayTs(1, 400 + j * 10 + i), i, t, 1.0))
+      }
+    val (batch1, batch2) = day1.splitAt(55)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dailyHeavyHitterSketch(stream.toDF(), k = 3, "1 day")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("daily_hh").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    stream.addData(Event(999, dayTs(30, 0), 999, "click", 1.0)) // flush watermark
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("daily_hh")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getSeq[String](2)))
+    val d1 = rows.find(_._1 == Timestamp.valueOf("2024-01-01 00:00:00")).get
+    assert(d1._2 == day1.size.toLong) // total is exact under any split
+    assert(d1._3.size <= 3)
+    // the guarantee: true heavy hitters (count > n/(k+1)) must survive
+    assert(Set("click", "view").subsetOf(d1._3.toSet), s"candidates=${d1._3}")
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
