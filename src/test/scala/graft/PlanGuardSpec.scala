@@ -43,7 +43,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "t18_mixture_sample",   // per-source keep-rate table (#sources rows)
     "s06_kmeans_lite",      // broadcast centroid table (k rows) per pass
     "g03_ppr_redistribute", // 1-row dangling-mass aggregate attach
-    "e20_bitmap_retention") // 1-row day-0 bitmap broadcast attach
+    "e20_bitmap_retention", // 1-row day-0 bitmap broadcast attach
+    "q46_zorder_layout",    // 1-row column-max bounds attach
+    "v05_table_fingerprint") // two 1-row fingerprint attaches
 
   test("no CartesianProduct in any catalog plan; BNL only where whitelisted") {
     // Other suites legitimately flip this on the shared session (forcing
