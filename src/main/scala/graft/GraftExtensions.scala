@@ -106,6 +106,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"mg_sketch takes 2 arguments (key, k), got ${other.size}")
         }
       }))
+    // kll_agg(value DOUBLE[, k INT literal]) / kll_union_agg(sketch
+    // BINARY[, k]) / kll_quantile(sketch, q) / kll_rank(sketch, v) —
+    // mergeable quantile sketches; k bounds the aggregation state.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import graft.functions.{KllAgg, KllDoublesAgg, KllQuantile, KllRank, KllUnionAgg}
+      def kOf(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+          name: String): Int = exprs match {
+        case Seq(_) => KllAgg.DefaultK
+        case Seq(_, Literal(k: Int, _: org.apache.spark.sql.types.IntegerType)) => k
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"$name: k must be an integer literal, got ${other.sql}")
+        case other => throw new IllegalArgumentException(
+          s"$name takes 1-2 arguments, got ${other.size}")
+      }
+      e.injectFunction((
+        FunctionIdentifier("kll_agg"),
+        new ExpressionInfo(classOf[KllDoublesAgg].getName, "kll_agg"),
+        exprs => KllDoublesAgg(exprs.head, kOf(exprs, "kll_agg")).toAggregateExpression()))
+      e.injectFunction((
+        FunctionIdentifier("kll_union_agg"),
+        new ExpressionInfo(classOf[KllUnionAgg].getName, "kll_union_agg"),
+        exprs => KllUnionAgg(exprs.head, kOf(exprs, "kll_union_agg")).toAggregateExpression()))
+      e.injectFunction((
+        FunctionIdentifier("kll_quantile"),
+        new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+        exprs => KllQuantile(exprs(0), exprs(1))))
+      e.injectFunction((
+        FunctionIdentifier("kll_rank"),
+        new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+        exprs => KllRank(exprs(0), exprs(1))))
+    }
     // topk_agg(sort, payload, k INT) — sort/payload take any orderable
     // atomic type (STRING/BIGINT/INT/DOUBLE/DATE/TIMESTAMP, checked by
     // the aggregate's own type check); k must be a literal (it bounds

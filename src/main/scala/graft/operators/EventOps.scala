@@ -974,6 +974,58 @@ object EventOps {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- e23
+  /** Mergeable KLL quantile-sketch rollup — the distribution sibling of
+    * e17's HLL: per-(type, day) sketches built in one partial-merge pass,
+    * the per-type view derived by UNIONING the daily kilobyte blobs
+    * (never re-scanning values), p50/p95 read from the blobs. Exact
+    * percentiles at 100 TB cost a sort per question; the sketch holds
+    * state logarithmic in n with a proven normalized-rank-error bound.
+    *
+    * Verification is honest about KLL's randomized compaction (no
+    * bit-equality across partition splits, unlike HLL register-max):
+    * each estimate's EXACT rank is measured by one more scan-riding agg
+    * (rank = mean(value ≤ est)), and the booleans assert it lands within
+    * ±3.5% of the target rank — double the published k=200 bound, so the
+    * gate is load-bearing but not flaky — for both the unioned and the
+    * directly-built sketch. The DuckDB oracle states the booleans and
+    * pins n exactly. */
+  val e23 = Q("e23_quantile_sketch",
+    (s, dir) => {
+      import graft.functions.KllAgg._
+      val base = ev(s, dir).select(col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+      val daily = base.groupBy("event_type", "day")
+        .agg(kll_agg(col("value")).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(kll_union_agg(col("sk")).as("sk"))
+        .select(col("event_type"),
+          kll_quantile(col("sk"), lit(0.5)).as("u50"),
+          kll_quantile(col("sk"), lit(0.95)).as("u95"))
+      val direct = base.groupBy("event_type")
+        .agg(kll_agg(col("value")).as("sk"))
+        .select(col("event_type"), kll_quantile(col("sk"), lit(0.5)).as("d50"))
+      val est = rolled.join(direct, "event_type")
+      base.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          avg((col("value") <= col("u50")).cast("double")).as("r50"),
+          avg((col("value") <= col("u95")).cast("double")).as("r95"),
+          avg((col("value") <= col("d50")).cast("double")).as("rd50"))
+        .select(col("event_type"), col("n"),
+          (abs(col("r50") - 0.5) <= 0.035).as("p50_in_bound"),
+          (abs(col("r95") - 0.95) <= 0.035).as("p95_in_bound"),
+          (abs(col("rd50") - 0.5) <= 0.035).as("direct_p50_in_bound"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             TRUE AS p50_in_bound, TRUE AS p95_in_bound,
+             TRUE AS direct_p50_in_bound
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
 }

@@ -13,6 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * package tree — the standard pattern for third-party Spark libraries.
   */
 object Bridge {
+  /** `org.apache.spark.sql.types.AbstractDataType` is private[sql] in
+    * Spark 4; expressions outside the sql tree that mix in
+    * ExpectsInputTypes need this alias to type their `inputTypes`. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
