@@ -272,5 +272,63 @@ object ValidateOps {
              TRUE AS replica_equal, TRUE AS corruption_detected
       FROM lineitem"""))
 
-  val queries: Seq[Q] = Seq(v01, v02, v03, v04, v05)
+  // ---------------------------------------------------------------- v06
+  /** Fingerprint DIFF — v05 locates nothing; this is the anti-entropy
+    * step that does: bucket each replica by key range (Merkle-leaf
+    * style), XOR-fingerprint per bucket, and join the two fingerprint
+    * tables to report exactly which buckets diverge. Repairing a 100 TB
+    * replica then re-reads only the named buckets, not the table; the
+    * fingerprint tables themselves are #buckets rows (here orderkey div
+    * 1000), so the comparison is free at any scale. The "replica" here is
+    * the base with a deterministic sparse corruption (one partkey
+    * perturbed where orderkey % 1997 == 0), so the expected diff set is
+    * well-defined and the DuckDB oracle reproduces BOTH fingerprint
+    * columns and the diverging-bucket list value-exactly. */
+  val v06 = Q("v06_fingerprint_diff",
+    (s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      val rowFp = expr("cast(conv(substring(md5(concat_ws('|', " +
+        cols.mkString(", ") + ")), 1, 15), 16, 10) as bigint)")
+      def buckets(df: DataFrame, f: String): DataFrame = df
+        .withColumn("bucket", expr("l_orderkey div 1000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(f + "_n"), bit_xor(rowFp).as(f))
+      val base = Tables.df(s, dir, "lineitem").select(cols.map(col): _*)
+      val replica = base.withColumn("l_partkey",
+        when(col("l_orderkey") % 1997 === 0, col("l_partkey") + 1)
+          .otherwise(col("l_partkey")))
+      buckets(base, "fp_base")
+        .join(buckets(replica, "fp_replica"), Seq("bucket"), "full_outer")
+        .where(col("fp_base") =!= col("fp_replica")
+          || col("fp_base").isNull || col("fp_replica").isNull
+          || col("fp_base_n") =!= col("fp_replica_n"))
+        .select(col("bucket"), col("fp_base"), col("fp_replica"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_orderkey // 1000 AS bucket,
+               bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                 l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)) AS fp_base,
+               count(*) AS n
+        FROM lineitem GROUP BY 1),
+      replica AS (
+        SELECT l_orderkey // 1000 AS bucket,
+               bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                 l_orderkey, l_linenumber,
+                 CASE WHEN l_orderkey % 1997 = 0 THEN l_partkey + 1
+                      ELSE l_partkey END,
+                 l_suppkey, l_returnflag, l_linestatus)), 1, 15)) AS BIGINT))
+                 AS fp_replica,
+               count(*) AS n
+        FROM lineitem GROUP BY 1)
+      SELECT b.bucket, b.fp_base, r.fp_replica
+      FROM base b FULL OUTER JOIN replica r USING (bucket)
+      WHERE b.fp_base <> r.fp_replica
+         OR b.fp_base IS NULL OR r.fp_replica IS NULL OR b.n <> r.n
+      ORDER BY b.bucket"""))
+
+  val queries: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06)
 }

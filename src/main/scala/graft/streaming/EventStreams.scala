@@ -116,6 +116,24 @@ object EventStreams {
       .select(col("w.start").as("day_start"),
         col("sk.total").as("total"), col("sk.keys").as("candidates"))
 
+  /** Per-day value-distribution sketch under a watermark — the KLL
+    * sibling of [[dailyDistinctSketch]]: the sketch buffer is the
+    * state-store value (log-n bytes per window), micro-batches fold in
+    * via the aggregate's merge path, and the emitted row answers any
+    * later quantile question from the blob. Below k retained values the
+    * sketch is exact, so small windows are deterministically equal to
+    * batch; beyond that the published rank-error bound is the contract
+    * (KllAgg scaladoc). */
+  def dailyQuantileSketch(events: DataFrame, k: Int = 200,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"kll_agg(value, $k)").as("sk"))
+      .select(col("w.start").as("day_start"),
+        expr("kll_quantile(sk, 0.5d)").as("p50"),
+        expr("kll_quantile(sk, 0.95d)").as("p95"))
+
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
     * whenever a gap closes it; the open session stays in state. */

@@ -153,6 +153,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(Set("click", "view").subsetOf(d1._3.toSet), s"candidates=${d1._3}")
   }
 
+  test("streaming KLL quantile sketch is exact below k and equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    // 150 values (< k=200 → exact mode) split across two micro-batches
+    val day1 = (1 to 150).map(i => Event(i, dayTs(1, i), i, "click", i.toDouble))
+    val (batch1, batch2) = day1.splitAt(70)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dailyQuantileSketch(stream.toDF(), k = 200, "1 day")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("daily_kll").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    stream.addData(Event(999, dayTs(30, 0), 999, "click", 1.0)) // flush watermark
+    q.processAllAvailable(); q.stop()
+
+    val row = spark.table("daily_kll")
+      .collect().find(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 00:00:00")).get
+    // below k the sketch retains everything: INCLUSIVE p50 of 1..150 = 75
+    assert(row.getDouble(1) == 75.0)
+    assert(row.getDouble(2) == 143.0) // ceil(0.95 * 150)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
