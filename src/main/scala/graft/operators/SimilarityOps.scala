@@ -880,6 +880,78 @@ object SimilarityOps {
       FROM win WHERE rk = 1
       ORDER BY query_id"""))
 
+  // ---------------------------------------------------------------- s12
+  /** Retrieval-quality metrics — recall@10, MRR, nDCG@10 — for the ANN
+    * family, the eval loop every retrieval system ships with. Relevance
+    * ground truth is label agreement (the same convention s11's
+    * classifier uses); 20 probe queries ride the s01 broadcast-probe
+    * scan, so metric computation adds only bounded per-query windows and
+    * a label-histogram broadcast to the retrieval pass itself — at
+    * 100 TB the retrieval leg swaps for the IVF probe (s03) with the
+    * metric stage unchanged. Ranks and relevance flags are integers, so
+    * the metrics are deterministic up to the 1e-6 rounding both engines
+    * share; DuckDB replays the entire pipeline (retrieval included), so
+    * the hash gate checks the eval AND the retrieval it evaluates. */
+  val s12 = Q("s12_retrieval_metrics",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"))
+      val labelCounts = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      val ranked = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine_similarity(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      ranked
+        .groupBy("query_id", "qlabel")
+        .agg(sum("rel").as("hits"),
+          max(when(col("rel") === 1, lit(1.0) / col("rn"))).as("mrr_raw"),
+          sum(col("rel") / log2(col("rn") + 1)).as("dcg"))
+        .join(broadcast(labelCounts), col("qlabel") === col("label"))
+        .withColumn("n_rel", col("n_label") - 1) // corpus matches excl. self
+        .withColumn("cut", least(lit(10L), col("n_rel")))
+        .withColumn("idcg",
+          expr("aggregate(sequence(1L, cut), 0d, (acc, i) -> acc + 1.0/log2(i + 1))"))
+        .select(col("query_id"), col("n_rel"),
+          round(col("hits") / col("cut"), 6).as("recall10"),
+          round(coalesce(col("mrr_raw"), lit(0.0)), 6).as("mrr"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+            FROM e WHERE vec_id < 20),
+      lc AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+      scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, qlabel,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored),
+      top AS (SELECT * FROM ranked WHERE rn <= 10),
+      agg AS (
+        SELECT query_id, qlabel, sum(rel) AS hits,
+               max(CASE WHEN rel = 1 THEN 1.0 / rn END) AS mrr_raw,
+               sum(rel / log2(rn + 1)) AS dcg
+        FROM top GROUP BY query_id, qlabel)
+      SELECT a.query_id, lc.n_label - 1 AS n_rel,
+             round(a.hits / least(10, lc.n_label - 1), 6) AS recall10,
+             round(coalesce(a.mrr_raw, 0), 6) AS mrr,
+             round(a.dcg / list_sum(list_transform(
+               range(1, CAST(least(10, lc.n_label - 1) AS BIGINT) + 1),
+               i -> 1.0 / log2(i + 1))), 6) AS ndcg10
+      FROM agg a JOIN lc ON a.qlabel = lc.label
+      ORDER BY a.query_id"""))
+
   val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11)
+    s11, s12)
 }

@@ -330,5 +330,32 @@ object ValidateOps {
          OR b.fp_base IS NULL OR r.fp_replica IS NULL OR b.n <> r.n
       ORDER BY b.bucket"""))
 
-  val queries: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06)
+  // ---------------------------------------------------------------- v07
+  /** k-anonymity audit — the privacy gate a corpus passes before
+    * release: group by the quasi-identifier tuple (lang, source,
+    * length bucket) and report every equivalence class smaller than
+    * k=5, i.e. the rows an adversary joining on those attributes could
+    * re-identify. One partial-agg pass over the scan (each expectation
+    * class is a conditional count, same discipline as v01); the output
+    * is the risky-class list with sizes, which is also the worklist for
+    * the remediation step (generalize the bucket, suppress the rows).
+    * The t11 redaction op is the column-level complement. */
+  val v07 = Q("v07_k_anonymity",
+    (s, dir) => {
+      Tables.df(s, dir, "documents")
+        .withColumn("chars_bucket", expr("n_chars div 50"))
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .where(col("class_size") < 5)
+        .orderBy("lang", "source", "chars_bucket")
+    },
+    Some("""
+      SELECT lang, source, n_chars // 50 AS chars_bucket,
+             count(*) AS class_size
+      FROM documents
+      GROUP BY 1, 2, 3
+      HAVING count(*) < 5
+      ORDER BY 1, 2, 3"""))
+
+  val queries: Seq[Q] = Seq(v01, v02, v03, v04, v05, v06, v07)
 }
