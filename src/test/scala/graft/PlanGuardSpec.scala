@@ -45,7 +45,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "g03_ppr_redistribute", // 1-row dangling-mass aggregate attach
     "e20_bitmap_retention", // 1-row day-0 bitmap broadcast attach
     "q46_zorder_layout",    // 1-row column-max bounds attach
-    "v05_table_fingerprint") // two 1-row fingerprint attaches
+    "v05_table_fingerprint", // two 1-row fingerprint attaches
+    "s12_retrieval_metrics") // corpus × 20 broadcast probe rows (s01 shape)
 
   test("no CartesianProduct in any catalog plan; BNL only where whitelisted") {
     // Other suites legitimately flip this on the shared session (forcing
