@@ -408,5 +408,77 @@ object GraphOps {
       FROM l2
       ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(g01, g02, g03, g04)
+  /** Fixed-round k-core peel: each round computes degrees over the
+    * surviving edge set and drops every vertex (and its edges) with
+    * degree < k. At the fixpoint the survivors are exactly the k-core
+    * (maximal subgraph of minimum degree ≥ k); rounds are FIXED so a
+    * second engine can replay the peel as unrolled CTEs — g04's LPA
+    * discipline — and KCoreSpec proves the fixture reaches the fixpoint
+    * within the budget (an extra round changes nothing), so the catalog
+    * answer IS the true core there. Each round is two bounded shuffles
+    * (a degree count and a semi-join back on each endpoint), with the
+    * shrinking edge frame materialized so round r+1 doesn't recompute
+    * rounds 1..r — the PageRank lineage discipline. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = canonical(edges).materializeAs("kcore-edges")
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = e.join(keep.toDF("a"), "a").join(keep.toDF("b"), "b")
+        .materializeAs("kcore-round")
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  // ---------------------------------------------------------------- g05
+  /** 3-core of the near-duplicate pair graph after 3 peel rounds — the
+    * "dense template cluster" detector: a document surviving the 3-core
+    * has at least 3 near-duplicate partners that THEMSELVES keep 3
+    * partners, the signature of boilerplate families rather than
+    * accidental pairs. Oracle = the same 3 rounds unrolled over the
+    * exact pair graph. */
+  val g05 = Q("g05_kcore",
+    (s, dir) =>
+      kCorePeel(
+        DedupOps.sharedPairGraph(s, dir, 0.7).select("doc_a", "doc_b"),
+        k = 3, rounds = 3)
+        .select(col("node").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      e0 AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      d1 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY 1),
+      k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+      e1 AS (SELECT e.a, e.b FROM e0 e
+             JOIN k1 x ON e.a = x.node JOIN k1 y ON e.b = y.node),
+      d2 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+             GROUP BY 1),
+      k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+      e2 AS (SELECT e.a, e.b FROM e1 e
+             JOIN k2 x ON e.a = x.node JOIN k2 y ON e.b = y.node),
+      d3 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+             GROUP BY 1),
+      k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+      e3 AS (SELECT e.a, e.b FROM e2 e
+             JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node)
+      SELECT node AS doc_id, count(*) AS core_deg FROM (
+        SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val queries: Seq[Q] = Seq(g01, g02, g03, g04, g05)
 }
