@@ -358,33 +358,74 @@ object EventStreams {
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        val spark = rawBatch.sparkSession
         // one row per key per batch: duplicate keys would each survive the
         // full-outer merge and corrupt the keyed snapshot forever (which
         // row wins an intra-batch tie is arbitrary — callers needing
         // last-wins pre-aggregate on an ordering column first)
         val batch = rawBatch.dropDuplicates(key)
-        // FileSystem API, not java.io.File: tablePath may be hdfs://,
-        // s3a://, or file:/ URI form — java.io would silently report
-        // exists()=false and skip merging an existing snapshot
-        val target = new org.apache.hadoop.fs.Path(tablePath)
-        val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // crash recovery: staging-without-target means a previous run died
-        // between delete and rename, and staging holds the complete merged
-        // snapshot — finish its swap instead of silently restarting empty
-        if (fs.exists(staging) && !fs.exists(target)) fs.rename(staging, target)
-        else if (fs.exists(staging)) fs.delete(staging, true)
-        val merged =
-          if (fs.exists(target))
-            graft.operators.MergeOps.upsert(spark.read.parquet(tablePath), batch, key)
-          else batch
-        merged.write.mode("overwrite").parquet(staging.toString) // materializes BEFORE the swap
-        if (fs.exists(target)) fs.delete(target, true)
-        require(fs.rename(staging, target),
-          s"upsertStream: rename failed for $tablePath")
+        swapSnapshot(rawBatch.sparkSession, tablePath) {
+          case Some(snapshot) =>
+            graft.operators.MergeOps.upsert(snapshot, batch, key)
+          case None => batch
+        }
       }
       .start()
+
+  /** Streaming incremental materialized view — e22's streaming twin: each
+    * micro-batch reduces to per-(type, day) MERGEABLE partial state
+    * (count/sum/min/max + HLL user sketch), which folds into the parquet
+    * view by state algebra (+ / min / max / register-max union). History
+    * is never rescanned: each commit costs the view's cardinality plus
+    * the batch, regardless of how much data the view already summarizes.
+    * Same staged-swap commit as [[upsertStream]]. */
+  def rollupStream(events: DataFrame, tablePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val delta = rawBatch
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"), col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
+            min("value").as("lo"), max("value").as("hi"),
+            expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        swapSnapshot(rawBatch.sparkSession, tablePath) {
+          case Some(view) => view.unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(sum("cnt").as("cnt"), sum("total").as("total"),
+              min("lo").as("lo"), max("hi").as("hi"),
+              expr("hll_union_agg(sk, false)").as("sk"))
+          case None => delta
+        }
+      }
+      .start()
+
+  /** Staged-swap snapshot commit: `merge` receives the current snapshot
+    * (None on first commit) and returns the next one, which materializes
+    * to `<tablePath>.staging` BEFORE the delete-and-rename swap. The
+    * portable single-writer core of a lakehouse commit; a commit log is
+    * the multi-writer / crash-between-rename upgrade path. */
+  private def swapSnapshot(spark: SparkSession, tablePath: String)(
+      merge: Option[DataFrame] => DataFrame): Unit = {
+    // FileSystem API, not java.io.File: tablePath may be hdfs://,
+    // s3a://, or file:/ URI form — java.io would silently report
+    // exists()=false and skip merging an existing snapshot
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: staging-without-target means a previous run died
+    // between delete and rename, and staging holds the complete merged
+    // snapshot — finish its swap instead of silently restarting empty
+    if (fs.exists(staging) && !fs.exists(target)) fs.rename(staging, target)
+    else if (fs.exists(staging)) fs.delete(staging, true)
+    val merged = merge(
+      if (fs.exists(target)) Some(spark.read.parquet(tablePath)) else None)
+    merged.write.mode("overwrite").parquet(staging.toString) // materializes BEFORE the swap
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(staging, target),
+      s"swapSnapshot: rename failed for $tablePath")
+  }
 
   /** Convenience: stream the events parquet as a file source. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -180,6 +180,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 143.0) // ceil(0.95 * 150)
   }
 
+  test("streaming rollup view equals a batch recompute after several commits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dayTs(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val all = (1 to 90).map { i =>
+      Event(i, dayTs(1 + i % 3, i), i % 25, if (i % 2 == 0) "click" else "view", i * 0.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rollup-stream").toString
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.rollupStream(stream.toDF(),
+      s"$dir/view.parquet", s"$dir/ckpt")
+    all.grouped(35).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.read.parquet(s"$dir/view.parquet")
+      .select(col("event_type"), col("day"), col("cnt"), round(col("total"), 6).as("total"),
+        col("lo"), col("hi"), expr("hll_sketch_estimate(sk)").as("users"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+    val want = all.toDF()
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("total"),
+        min("value").as("lo"), max("value").as("hi"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("users"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+
+    assert(got == want)
+  }
+
   test("stateful sessionizer closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
