@@ -352,6 +352,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("snapshot commit recovers a crash between delete and rename") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-recover").toString
+    // simulate the torn state swapSnapshot can crash into: the previous
+    // run wrote the complete merged snapshot to .staging, deleted the
+    // target, and died before the rename — staging exists, target does not
+    Seq((10L, "survivor")).toDF("k", "v")
+      .write.parquet(s"$dir/table.staging")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.upsertStream(stream.toDF().toDF("k", "v"),
+      "k", s"$dir/table", s"$dir/ckpt")
+    stream.addData((11L, "new"))
+    q.processAllAvailable(); q.stop()
+
+    // the orphaned staging snapshot must be adopted, not discarded: its
+    // row survives alongside the new batch, and staging is gone
+    val got = spark.read.parquet(s"$dir/table").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "survivor", 11L -> "new"))
+    assert(!new java.io.File(s"$dir/table.staging").exists())
+  }
+
   test("streaming dedup suppresses same-content docs across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
