@@ -103,6 +103,47 @@ class MisraGriesSpec extends AnyFunSuite {
     answers.foreach(a => assert(a == trueHH))
   }
 
+  test("property: guarantee holds on 200 random streams × 3 partitionings") {
+    import spark.implicits._
+    val rnd = new Random(123)
+    val k = 8
+    // trial mix: zipf-ish heads, uniform noise, adversarial alternating
+    // runs — sized so decrements fire in most trials
+    val trials: Seq[(Int, Seq[String])] = (0 until 200).map { t =>
+      val style = t % 3
+      val words = style match {
+        case 0 => (1 to 20).flatMap(i => Seq.fill(rnd.nextInt(200) / i + 1)(s"h$i")) ++
+          (1 to 300).map(_ => s"n${rnd.nextInt(100)}")
+        case 1 => (1 to 500).map(_ => s"u${rnd.nextInt(30)}")
+        case 2 => (1 to 400).map(i => if (i % 2 == 0) "dom" else s"alt${i % 40}")
+      }
+      t -> rnd.shuffle(words.toList)
+    }
+    val exact: Map[Int, Map[String, Long]] = trials.map { case (t, ws) =>
+      t -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val rows = trials.flatMap { case (t, ws) => ws.map(t -> _) }
+
+    for (nPart <- Seq(1, 6, 31)) {
+      val got = rows.toDF("trial", "word").repartition(nPart)
+        .groupBy("trial")
+        .agg(MisraGriesAgg.mg_sketch(col("word"), k).as("sk"))
+        .select(col("trial"), col("sk.total"), col("sk.keys"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[String](2))).toSeq
+      assert(got.size == trials.size)
+      got.foreach { case (t, total, cand) =>
+        val ex = exact(t)
+        val n = ex.values.sum
+        assert(total == n, s"trial $t nPart=$nPart")
+        assert(cand.size <= k, s"trial $t nPart=$nPart size=${cand.size}")
+        val heavy = ex.filter(_._2 > n.toDouble / (k + 1)).keySet
+        assert(heavy.subsetOf(cand.toSet),
+          s"trial $t nPart=$nPart missing ${heavy -- cand.toSet}")
+      }
+    }
+  }
+
   test("null keys are ignored and do not count toward the total") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("w")
