@@ -1026,6 +1026,56 @@ object EventOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- e24
+  /** Audience-overlap ESTIMATES from HLL sketches via inclusion–
+    * exclusion — |A∩B| ≈ |A| + |B| − |A∪B| — completing the sketch
+    * algebra next to e20's exact bitmaps: bitmaps need the id domain
+    * dense and owned; sketches work on any ids at a fixed few KB, the
+    * trade being intersection error that grows as the overlap shrinks
+    * relative to the union (the standard HLL-intersection caveat, why
+    * e20 exists). Per event-type pair: estimate vs the exact distinct
+    * join, gated at ±5% of the UNION size (the error's natural scale —
+    * each of the three estimates it differences carries union-
+    * proportional error; an overlap-relative gate would be the wrong
+    * contract and flaky by construction). One sketch per type built
+    * once; all pairwise questions are then blob arithmetic. */
+  val e24 = Q("e24_overlap_sketch",
+    (s, dir) => {
+      val base = ev(s, dir).select(col("event_type"), col("user_id"))
+      val sks = base.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct("user_id").as("exact_n"))
+      val pairs = sks.toDF("ta", "ska", "na")
+        .join(sks.toDF("tb", "skb", "nb"), col("ta") < col("tb"))
+        .select(col("ta"), col("tb"),
+          expr("hll_sketch_estimate(ska)").as("est_a"),
+          expr("hll_sketch_estimate(skb)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+        .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_u"))
+      val dedup = base.distinct() // (type, user) pairs: join stays |types|²×users
+      val exact = dedup.toDF("ta", "user_id")
+        .join(dedup.toDF("tb", "user_id"), Seq("user_id"))
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("exact_overlap"))
+      pairs.join(exact, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap"))
+            <= col("est_u") * 0.05).as("within_bound"))
+        .orderBy("ta", "tb")
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT event_type, user_id FROM events),
+      p AS (
+        SELECT a.event_type AS ta, b2.event_type AS tb,
+               count(*) AS exact_overlap
+        FROM b a JOIN b b2 ON a.user_id = b2.user_id
+        WHERE a.event_type < b2.event_type
+        GROUP BY 1, 2)
+      SELECT ta, tb, exact_overlap, TRUE AS within_bound
+      FROM p
+      ORDER BY ta, tb"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }

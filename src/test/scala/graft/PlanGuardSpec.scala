@@ -46,7 +46,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "e20_bitmap_retention", // 1-row day-0 bitmap broadcast attach
     "q46_zorder_layout",    // 1-row column-max bounds attach
     "v05_table_fingerprint", // two 1-row fingerprint attaches
-    "s12_retrieval_metrics") // corpus × 20 broadcast probe rows (s01 shape)
+    "s12_retrieval_metrics", // corpus × 20 broadcast probe rows (s01 shape)
+    "e24_overlap_sketch")   // |types|² sketch-blob pairing (≤ 5 rows a side)
 
   test("no CartesianProduct in any catalog plan; BNL only where whitelisted") {
     // Other suites legitimately flip this on the shared session (forcing
