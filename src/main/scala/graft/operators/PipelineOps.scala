@@ -110,5 +110,51 @@ object PipelineOps {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val queries: Seq[Q] = Seq(p01)
+  // ---------------------------------------------------------------- p02
+  /** Dataset card — the release artifact every corpus ships with: per
+    * (source, lang) document/token counts, corpus share, and length
+    * stats, in ONE scan-riding aggregate. The share-of-corpus column
+    * derives from a window over the ALREADY-AGGREGATED frame (≤ sources
+    * × langs rows), so the corpus-sized work is a single bounded-key
+    * partial agg; at 100 TB nothing but that one pass touches the data.
+    * Deliberately a composition of verified pieces (t02's token
+    * accounting, v01's single-pass discipline) — the point is the card
+    * query stays ONE job. */
+  val p02 = Q("p02_corpus_report",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.df(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .withColumn("mean_tokens",
+          round(col("tokens") / col("n_docs"), 4))
+        .withColumn("pct_tokens",
+          round(col("tokens") / sum("tokens").over(w), 6))
+        .select("source", "lang", "n_docs", "tokens", "min_tokens",
+          "max_tokens", "mean_tokens", "pct_tokens")
+        .orderBy("source", "lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents),
+      g AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM t GROUP BY 1, 2)
+      SELECT source, lang, n_docs, tokens, min_tokens, max_tokens,
+             round(tokens * 1.0 / n_docs, 4) AS mean_tokens,
+             round(tokens * 1.0 / sum(tokens) OVER (), 6) AS pct_tokens
+      FROM g
+      ORDER BY source, lang"""))
+
+  val queries: Seq[Q] = Seq(p01, p02)
 }
