@@ -117,7 +117,15 @@ case class MisraGriesAgg(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counters.size)
-    buf.counters.foreach { case (ky, c) => out.writeUTF(ky); out.writeLong(c) }
+    // length-prefixed UTF-8, not writeUTF: a general STRING key (raw
+    // text, URLs, payloads) can exceed writeUTF's 64 KB modified-UTF-8
+    // cap, which would throw at shuffle time instead of summarizing
+    buf.counters.foreach { case (ky, c) =>
+      val kb = ky.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -128,8 +136,9 @@ case class MisraGriesAgg(
     buf.n = in.readLong()
     var rem = in.readInt()
     while (rem > 0) {
-      val ky = in.readUTF()
-      buf.counters(ky) = in.readLong()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counters(new String(kb, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
       rem -= 1
     }
     buf

@@ -1043,10 +1043,9 @@ object EventOps {
     (s, dir) => {
       val base = ev(s, dir).select(col("event_type"), col("user_id"))
       val sks = base.groupBy("event_type")
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
-          countDistinct("user_id").as("exact_n"))
-      val pairs = sks.toDF("ta", "ska", "na")
-        .join(sks.toDF("tb", "skb", "nb"), col("ta") < col("tb"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val pairs = sks.toDF("ta", "ska")
+        .join(sks.toDF("tb", "skb"), col("ta") < col("tb"))
         .select(col("ta"), col("tb"),
           expr("hll_sketch_estimate(ska)").as("est_a"),
           expr("hll_sketch_estimate(skb)").as("est_b"),

@@ -912,6 +912,10 @@ object SimilarityOps {
           sum(col("rel") / log2(col("rn") + 1)).as("dcg"))
         .join(broadcast(labelCounts), col("qlabel") === col("label"))
         .withColumn("n_rel", col("n_label") - 1) // corpus matches excl. self
+        // a query whose label is unique has nothing to retrieve: excluded
+        // from eval (cut = 0 would divide by zero and the idcg sequence
+        // degenerates) — the oracle applies the same exclusion
+        .where(col("n_rel") > 0)
         .withColumn("cut", least(lit(10L), col("n_rel")))
         .withColumn("idcg",
           expr("aggregate(sequence(1L, cut), 0d, (acc, i) -> acc + 1.0/log2(i + 1))"))
@@ -950,6 +954,7 @@ object SimilarityOps {
                range(1, CAST(least(10, lc.n_label - 1) AS BIGINT) + 1),
                i -> 1.0 / log2(i + 1))), 6) AS ndcg10
       FROM agg a JOIN lc ON a.qlabel = lc.label
+      WHERE lc.n_label > 1
       ORDER BY a.query_id"""))
 
   val queries: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,

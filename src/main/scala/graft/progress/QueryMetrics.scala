@@ -25,9 +25,11 @@ import java.util.concurrent.ConcurrentHashMap
 object QueryMetrics {
 
   /** Attach named observation metrics to a frame (no plan change beyond
-    * the CollectMetrics node; the frame computes exactly what it did). */
-  def observed(df: DataFrame, name: String, metrics: Seq[Column]): DataFrame =
-    df.observe(name, metrics.head, metrics.tail: _*)
+    * the CollectMetrics node; the frame computes exactly what it did).
+    * The first metric is a required parameter, so the empty-metrics
+    * misuse cannot compile. */
+  def observed(df: DataFrame, name: String, first: Column, rest: Column*): DataFrame =
+    df.observe(name, first, rest: _*)
 
   /** QueryExecutionListener that captures every observation emitted by
     * completed queries, keyed by observation name. Register with

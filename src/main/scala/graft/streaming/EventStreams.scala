@@ -132,7 +132,10 @@ object EventStreams {
       .agg(expr(s"kll_agg(value, $k)").as("sk"))
       .select(col("w.start").as("day_start"),
         expr("kll_quantile(sk, 0.5d)").as("p50"),
-        expr("kll_quantile(sk, 0.95d)").as("p95"))
+        expr("kll_quantile(sk, 0.95d)").as("p95"),
+        // the blob itself rides along so closed windows can be rolled up
+        // (kll_union_agg) or asked new quantiles later, as documented
+        col("sk"))
 
   /** Gap-based sessionization with explicit state (30-minute idle gap):
     * mirrors EventOps.e02 semantics, but incremental. Emits a session
@@ -377,12 +380,19 @@ object EventStreams {
     * view by state algebra (+ / min / max / register-max union). History
     * is never rescanned: each commit costs the view's cardinality plus
     * the batch, regardless of how much data the view already summarizes.
-    * Same staged-swap commit as [[upsertStream]]. */
+    * Same staged-swap commit as [[upsertStream]] — with the batchId
+    * passed through, because unlike upsert this merge is ADDITIVE and
+    * therefore not replay-idempotent: foreachBatch re-delivers a batch
+    * if the query dies between the snapshot swap and the checkpoint
+    * commit, and folding the same delta twice would silently double cnt
+    * and total forever (lo/hi/sketch-union would mask it by staying
+    * right). The snapshot carries the last committed batchId; a replayed
+    * batch is recognized and skipped. */
   def rollupStream(events: DataFrame, tablePath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         val delta = rawBatch
           .select(col("event_type"), to_date(col("ts")).as("day"),
             col("value"), col("user_id"))
@@ -390,7 +400,7 @@ object EventStreams {
           .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
             min("value").as("lo"), max("value").as("hi"),
             expr("hll_sketch_agg(user_id, 12)").as("sk"))
-        swapSnapshot(rawBatch.sparkSession, tablePath) {
+        swapSnapshot(rawBatch.sparkSession, tablePath, Some(batchId)) {
           case Some(view) => view.unionByName(delta)
             .groupBy("event_type", "day")
             .agg(sum("cnt").as("cnt"), sum("total").as("total"),
@@ -405,8 +415,17 @@ object EventStreams {
     * (None on first commit) and returns the next one, which materializes
     * to `<tablePath>.staging` BEFORE the delete-and-rename swap. The
     * portable single-writer core of a lakehouse commit; a commit log is
-    * the multi-writer / crash-between-rename upgrade path. */
-  private def swapSnapshot(spark: SparkSession, tablePath: String)(
+    * the multi-writer / crash-between-rename upgrade path.
+    *
+    * `batchId` makes a NON-idempotent merge replay-safe: the id is
+    * written as an underscore-prefixed marker file INSIDE the staging
+    * snapshot (parquet readers ignore `_` files, and the rename carries
+    * data + marker atomically), and a commit whose id is ≤ the marker
+    * already in the target is a completed replay — skipped. Idempotent
+    * merges (key upsert) may pass None and tolerate replays by
+    * construction. */
+  private[graft] def swapSnapshot(spark: SparkSession, tablePath: String,
+      batchId: Option[Long] = None)(
       merge: Option[DataFrame] => DataFrame): Unit = {
     // FileSystem API, not java.io.File: tablePath may be hdfs://,
     // s3a://, or file:/ URI form — java.io would silently report
@@ -419,12 +438,29 @@ object EventStreams {
     // snapshot — finish its swap instead of silently restarting empty
     if (fs.exists(staging) && !fs.exists(target)) fs.rename(staging, target)
     else if (fs.exists(staging)) fs.delete(staging, true)
-    val merged = merge(
-      if (fs.exists(target)) Some(spark.read.parquet(tablePath)) else None)
-    merged.write.mode("overwrite").parquet(staging.toString) // materializes BEFORE the swap
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(staging, target),
-      s"swapSnapshot: rename failed for $tablePath")
+    def committedId(dir: org.apache.hadoop.fs.Path): Option[Long] = {
+      val m = new org.apache.hadoop.fs.Path(dir, "_graft_batchid")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try Some(in.readLong()) finally in.close()
+      }
+    }
+    val replayed = batchId.exists(id =>
+      fs.exists(target) && committedId(target).exists(id <= _))
+    if (!replayed) {
+      val merged = merge(
+        if (fs.exists(target)) Some(spark.read.parquet(tablePath)) else None)
+      merged.write.mode("overwrite").parquet(staging.toString) // materializes BEFORE the swap
+      batchId.foreach { id =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(staging, "_graft_batchid"), true)
+        try out.writeLong(id) finally out.close()
+      }
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"swapSnapshot: rename failed for $tablePath")
+    }
   }
 
   /** Convenience: stream the events parquet as a file source. */

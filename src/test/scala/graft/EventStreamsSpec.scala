@@ -352,6 +352,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("a replayed batchId is skipped: additive merges cannot double-count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val path = s"$dir/view"
+    def commit(id: Long): Unit =
+      EventStreams.swapSnapshot(spark, path, Some(id)) {
+        case Some(v) => v.union(Seq(1L).toDF("n"))
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+        case None => Seq(1L).toDF("n")
+      }
+    commit(0L) // n = 1
+    commit(0L) // foreachBatch re-delivery after a torn checkpoint: skip
+    commit(1L) // n = 2
+    commit(1L) // replay again: skip
+    val n = spark.read.parquet(path).head().getLong(0)
+    assert(n == 2L, s"replays must not fold in twice, got n=$n")
+  }
+
   test("snapshot commit recovers a crash between delete and rename") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

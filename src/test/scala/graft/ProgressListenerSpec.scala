@@ -65,10 +65,10 @@ class QueryMetricsSpec extends org.scalatest.funsuite.AnyFunSuite {
     spark.listenerManager.register(collector)
     try {
       val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
-      val audited = QueryMetrics.observed(docs, "docs_audit", Seq(
+      val audited = QueryMetrics.observed(docs, "docs_audit",
         count(lit(1)).as("rows"),
         sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
-        sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("empty_docs")))
+        sum(when(col("n_chars") <= 0, 1L).otherwise(0L)).as("empty_docs"))
       // the pipeline's own job: a grouped count (audit adds no job)
       val grouped = audited.groupBy("lang").count().collect()
       assert(grouped.nonEmpty)
