@@ -1358,6 +1358,91 @@ object DedupOps {
       LEFT JOIN rec r USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- d15
+  /** Quality-aware winner selection per duplicate cluster — what real
+    * curation keeps: d06 labels the clusters and p01 drops everything but
+    * the min-id member, but a production pipeline keeps the BEST member.
+    * Winner = argmax(t04's quality score, ties by doc_id) inside each
+    * cluster; the argmax is a WindowGroupLimit over clusters (bounded
+    * groups), the quality score rides the document scan, and the cluster
+    * labels reuse the shared written-once pair graph — so the only new
+    * cost over d06 is one scan-riding projection and a per-cluster top-1.
+    * Ordering uses the 4-digit ROUNDED score both engines already
+    * hash-agree on (t04), so the winner is cross-engine deterministic. */
+  val d15 = Q("d15_quality_winner_dedup",
+    (s, dir) => {
+      val cc = connectedComponents(
+        sharedPairGraph(s, dir).select("doc_a", "doc_b"),
+        symAdj = Some(sharedAdjacency(s, dir)))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val quality = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
+            col("n_tokens"))
+        .withColumn("alpha_ratio",
+          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+            (lit(1.0) - col("stop_ratio")) * 0.3 +
+            col("alpha_ratio") * 0.2, 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+      cc.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rn") === 1, col("quality"))).as("kept_quality"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM w a JOIN w b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT walk.node, e.dst FROM walk JOIN edges e ON walk.reach = e.src)
+      , cc AS (
+        SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+        FROM walk
+        GROUP BY node),
+      q AS (
+        SELECT doc_id,
+               round(least(1.0, n_tokens / 50.0) * 0.5 +
+                     (1.0 - n_stop / n_tokens) * 0.3 +
+                     (n_alpha / length(text)) * 0.2, 4) AS quality
+        FROM (
+          SELECT doc_id, text,
+                 len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+                 len(list_filter(string_split(text,' '),
+                     x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+                 length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+          FROM documents)),
+      ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality,
+               row_number() OVER (PARTITION BY cc.cluster_id
+                                  ORDER BY q.quality DESC, cc.doc_id) AS rn
+        FROM cc JOIN q ON cc.doc_id = q.doc_id)
+      SELECT cluster_id, count(*) AS cluster_size,
+             CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+             max(CASE WHEN rn = 1 THEN quality END) AS kept_quality
+      FROM ranked
+      GROUP BY cluster_id
+      ORDER BY cluster_id"""))
+
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14)
+    d11, d12, d13, d14, d15)
 }
