@@ -212,6 +212,44 @@ object EventOps {
       ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
+  // ---------------------------------------------------------------- e25
+  /** Tolerance-bounded as-of: each purchase matched to the latest click
+    * at or before it ONLY if that click is within 30 minutes — pandas
+    * merge_asof's `tolerance`, the attribution-window variant of e06. A
+    * stale match is worse than no match for attribution, which is why
+    * the contract nulls it rather than keeping it. Runs on the same
+    * native one-pass merge (AsOfJoinExec): the bound is applied after
+    * direction resolution, so it adds zero cost and no plan change.
+    * Oracle = DuckDB ASOF LEFT JOIN with the same window applied as a
+    * post-condition (provably identical: backward-with-tolerance is
+    * exactly "backward, then null if too far"). */
+  val e25 = Q("e25_asof_tolerance",
+    (s, dir) => {
+      val (purchases, clicks) = asofFrames(s, dir)
+      graft.plans.AsOf.join(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user_id",
+          leftTime = "ts", rightTime = "c_ts",
+          direction = "backward", tolerance = Some(30 * 60 * 1e6))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id").as("matched_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+             CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 30 MINUTE
+                  THEN c.click_id END AS matched_click
+      FROM purchases p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
   // ---------------------------------------------------------------- e07
   /** Time-series gap filling (resample-to-hourly with zero-fill): the
     * dense hour × event_type grid left-joined to the observed hourly
@@ -1076,5 +1114,5 @@ object EventOps {
       ORDER BY ta, tb"""))
 
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }

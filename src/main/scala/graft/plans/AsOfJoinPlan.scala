@@ -36,7 +36,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    tolerance: Option[Double] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +50,8 @@ case class AsOfJoin(
 /** Plans the logical AsOfJoin to its physical operator. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), dir) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +63,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    direction: String = "backward") extends BinaryExecNode {
+    direction: String = "backward",
+    tolerance: Option[Double] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -139,6 +141,7 @@ case class AsOfJoinExec(
       var candKey: Any = null
       var candTime: Any = null
       val dir = direction
+      val tol = tolerance
 
       lIt.map { lrow =>
         val lkV = lKeyE.eval(lrow)
@@ -181,7 +184,14 @@ case class AsOfJoinExec(
             else if (dist(ltV, candTime) <= dist(rTimeE.eval(fwdRow), ltV)) backRow
             else fwdRow
         }
-        proj(joined(lrow, if (chosen != null) chosen else nullRight))
+        // tolerance: a match farther than `tol` time units is no match —
+        // applied AFTER direction resolution, so backward-with-tolerance is
+        // "latest at-or-before, if recent enough", the merge_asof contract
+        val kept =
+          if (chosen == null || tol.isEmpty) chosen
+          else if (dist(ltV, rTimeE.eval(chosen)) <= tol.get) chosen
+          else null
+        proj(joined(lrow, if (kept != null) kept else nullRight))
       }
     }
   }
@@ -207,14 +217,21 @@ object AsOf {
     *   - "forward": earliest right row at or after the left time;
     *   - "nearest": whichever of the two is closer in time, ties backward
     *     (numeric/timestamp/date times only — strings have no distance).
-    * Same plan shape for all three: co-partitioned, sorted, one-pass,
+    * `tolerance`: maximum |Δt| for a match, in the time column's runtime
+    * units (micros for timestamps, days for dates); a resolved match
+    * farther away becomes null — pandas merge_asof's contract. Applied
+    * after direction resolution in the same one-pass merge, so it costs
+    * nothing and composes with all three directions.
+    * Same plan shape for all: co-partitioned, sorted, one-pass,
     * O(1) state. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"asof join: unknown direction '$direction'")
+    require(tolerance.forall(_ >= 0), "asof join: tolerance must be >= 0")
     val spark = left.sparkSession
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(right)
@@ -237,6 +254,10 @@ object AsOf {
     }
     require(direction != "nearest" || lTime.dataType.typeName != "string",
       "asof join: nearest needs a numeric/timestamp/date time column")
-    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime, direction))
+    require(tolerance.isEmpty || lTime.dataType.typeName != "string",
+      "asof join: tolerance needs a numeric/timestamp/date time column " +
+        "(units = the column's runtime units: micros for timestamps, days for dates)")
+    Bridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan, lKey, rKey, lTime, rTime, direction, tolerance))
   }
 }

@@ -162,6 +162,33 @@ class AsOfPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance nulls matches beyond the bound, inclusive at the boundary") {
+    // trades (1,25): backward match q1-20 at distance 5
+    val within = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts",
+        tolerance = Some(5.0))
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(within.contains((1L, 25L, "q1-20"))) // distance 5 == tol: match
+    assert(within.contains((1L, 10L, "q1-10"))) // distance 0
+    assert(within.contains((1L, 99L, null)))    // q1-30 is 69 away: nulled
+    assert(within.contains((2L, 16L, "q2-15")))
+
+    val tight = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts",
+        tolerance = Some(4.0))
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(tight.contains((1L, 25L, null))) // distance 5 > 4: nulled
+
+    // composes with nearest: (1,25) nearest is q1-20 (5) vs q1-30 (5) →
+    // tie backward q1-20; tolerance 4 nulls it
+    val near = AsOf.join(trades, quotes, "sym", "q_sym", "ts", "q_ts",
+        direction = "nearest", tolerance = Some(4.0))
+      .select("sym", "ts", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(near.contains((1L, 25L, null)))
+    assert(near.contains((1L, 5L, null))) // nearest is q1-10 at distance 5 > 4
+  }
+
   test("nearest rejects string time columns; unknown direction rejected") {
     import spark.implicits._
     val l = Seq((1L, "a")).toDF("k", "t")
