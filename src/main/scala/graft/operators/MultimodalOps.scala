@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -425,5 +426,123 @@ object MultimodalOps {
         ON a.asset_key = b.asset_key AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b"""))
 
-  val queries: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Frame-level audio decode stand-in (the audio twin of [[ImageCodec]]):
+    * the waveform is a counter-mode md5 expansion of the payload — frame j
+    * is the 16 bytes of md5(seed ‖ ":" ‖ j), each byte one centered
+    * sample (v − 128) — so the SAME stream replays in the SQL oracle as
+    * md5(text || ':' || j) hex pairs (the m02 trick; real audio codecs
+    * aren't in this container, and the prompt's contract is deterministic
+    * fake decode + REAL Spark plumbing). Per frame it returns the
+    * INTEGER sum of squared amplitudes: keeping the energy integral
+    * until the final projection means the silence decision and every
+    * aggregate are integer-exact across engines. */
+  object AudioCodec {
+    final val SamplesPerFrame = 16
+
+    /** (frameIdx, sumOfSquaredAmplitudes) per frame; frame count derives
+      * from the payload head (10–19), the m02 metadata convention. */
+    def decodeFrames(seed: Array[Byte]): Seq[(Int, Long)] = {
+      val nFrames = 10 + (seed.headOption.map(b => b & 0xFF).getOrElse(0) % 10)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until nFrames).map { j =>
+        md.reset()
+        md.update(seed)
+        md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val block = md.digest()
+        var sum = 0L
+        var i = 0
+        while (i < SamplesPerFrame) {
+          val a = (block(i) & 0xFF) - 128
+          sum += a.toLong * a
+          i += 1
+        }
+        (j, sum)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- m07
+  /** Audio silence segmentation — the third modality's decode→feature
+    * pipeline (image m02/m06, video m03): per-frame RMS energy, a
+    * silence gate, and gaps-and-islands over the loud frames into
+    * speech-like segments (n_segments, longest run, overall RMS). The
+    * decode runs in mapPartitions like m02 (one digest instance per
+    * batch); segmentation is the e16 islands trick per doc over ≤ 19
+    * frames. The silence gate compares the INTEGER energy sum against
+    * 74²·16 — uniform bytes have E[RMS] ≈ 73.9, so the threshold splits
+    * frames — and overall_rms derives from the exact integer total, so
+    * every emitted number is cross-engine deterministic without
+    * tolerance. */
+  val m07 = Q("m07_audio_segments",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val frames = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, seed) =>
+          AudioCodec.decodeFrames(seed).map { case (j, ss) => (id, j, ss) }
+        })
+        .toDF("doc_id", "frame_idx", "sum_sq")
+      val loudW = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val segs = frames
+        .filter(col("sum_sq") >= 74L * 74L * 16L)
+        .withColumn("grp", col("frame_idx") - row_number().over(loudW))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("seg_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"), max("seg_len").as("longest_seg"),
+          sum("seg_len").as("n_loud"))
+      frames.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum("sum_sq").as("total_sq"))
+        .join(segs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_loud"), lit(0L)).as("n_loud"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+          round(sqrt(col("total_sq") /
+            (col("n_frames") * lit(16.0))), 4).as("overall_rms"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text,
+               10 + (ascii(substr(text, 1, 1)) % 10) AS n_frames
+        FROM documents),
+      fr AS (
+        SELECT doc_id, n_frames, j,
+               md5(text || ':' || CAST(j AS VARCHAR)) AS hx
+        FROM base, range(19) t(j)
+        WHERE j < n_frames),
+      sam AS (
+        SELECT f.doc_id, f.n_frames, f.j,
+               ((strpos('0123456789abcdef', substr(f.hx, 2*p.p+1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(f.hx, 2*p.p+2, 1)) - 1
+                - 128) AS a
+        FROM fr f, range(16) p(p)),
+      energy AS (
+        SELECT doc_id, n_frames, j, sum(a * a) AS sum_sq
+        FROM sam GROUP BY 1, 2, 3),
+      loud AS (
+        SELECT doc_id, j,
+               j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+        FROM energy WHERE sum_sq >= 87616),
+      seg AS (
+        SELECT doc_id, count(*) AS seg_len FROM loud GROUP BY doc_id, grp),
+      per_doc_seg AS (
+        SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest_seg,
+               CAST(sum(seg_len) AS BIGINT) AS n_loud
+        FROM seg GROUP BY doc_id),
+      per_doc AS (
+        SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+               sum(sum_sq) AS total_sq
+        FROM energy GROUP BY doc_id)
+      SELECT d.doc_id, d.n_frames,
+             coalesce(s.n_loud, 0) AS n_loud,
+             coalesce(s.n_segments, 0) AS n_segments,
+             coalesce(s.longest_seg, 0) AS longest_seg,
+             round(sqrt(d.total_sq / (d.n_frames * 16.0)), 4) AS overall_rms
+      FROM per_doc d LEFT JOIN per_doc_seg s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  val queries: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }
