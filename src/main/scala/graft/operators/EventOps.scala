@@ -1113,6 +1113,50 @@ object EventOps {
       FROM p
       ORDER BY ta, tb"""))
 
+  // ---------------------------------------------------------------- e26
+  /** Per-day activity leaderboard through the bounded top-K heap
+    * aggregate — the straggler-free replacement for the
+    * `row_number().over(partitionBy(day))` formulation: a window sorts
+    * every day's ENTIRE user set in one task to keep 3 rows, so a hot
+    * day becomes a single straggler, while the heap keeps ≤ K candidates
+    * per task with partial/merge support (TopKAgg scaladoc). Sort key is
+    * the negated count (the heap keeps smallest), payload the user id —
+    * unique per group, so ties are total-order deterministic in both
+    * engines. The oracle IS the window formulation, so the gate also
+    * proves heap ≡ window. */
+  val e26 = Q("e26_daily_leaderboard",
+    (s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day_s"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val top = counts.groupBy("day_s")
+        .agg(graft.functions.TopKAgg.topk_agg(
+          -col("n"), col("user_id"), 3).as("users"))
+        .select(col("day_s"), posexplode(col("users")).as(Seq("pos", "user_id")))
+        .withColumn("rn", col("pos") + 1)
+      top.join(counts, Seq("day_s", "user_id"))
+        .select(col("day_s"), col("rn").cast("long").as("rn"),
+          col("user_id"), col("n"))
+        .orderBy("day_s", "rn")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day_s,
+               user_id, count(*) AS n
+        FROM events
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT day_s, user_id, n,
+               row_number() OVER (PARTITION BY day_s
+                                  ORDER BY n DESC, user_id) AS rn
+        FROM counts)
+      SELECT day_s, rn, user_id, n
+      FROM ranked
+      WHERE rn <= 3
+      ORDER BY day_s, rn"""))
+
   val queries: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25,
+    e26)
 }
