@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -163,7 +163,7 @@ object SimilarityOps {
     * convention — so the same sample (hence the same centroids, cells,
     * and final ANN answer) is reproducible in DuckDB and the s03/s08
     * oracles can replay the whole index build. */
-  private def ivfCentroids(e: DataFrame, k: Int = 8): Seq[Array[Double]] = {
+  private[graft] def ivfCentroids(e: DataFrame, k: Int = 8): Seq[Array[Double]] = {
     val sample = e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
       col("vec_id")).limit(256).collect()
     (0 until k).map { i =>
@@ -180,12 +180,12 @@ object SimilarityOps {
     }
 
   /** Nearest coarse cell for the vector in `vcol`. */
-  private def nearestCellExpr(centroids: Seq[Array[Double]],
+  private[graft] def nearestCellExpr(centroids: Seq[Array[Double]],
       vcol: String): org.apache.spark.sql.Column =
     least(cellDists(centroids, vcol): _*).getField("cell")
 
   /** Runner-up coarse cell (the second probe). */
-  private def secondCellExpr(centroids: Seq[Array[Double]],
+  private[graft] def secondCellExpr(centroids: Seq[Array[Double]],
       vcol: String): org.apache.spark.sql.Column =
     array_sort(array(cellDists(centroids, vcol): _*)).getItem(1).getField("cell")
 

@@ -41,6 +41,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(key).exceptAll(src.filter(key)).isEmpty)
   }
 
+  test("lineitem round-trips through ORC, types preserved") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.df(spark, sf, "lineitem")
+    src.write.mode("overwrite").orc(s"$dir/lineitem")
+    val back = spark.read.orc(s"$dir/lineitem")
+    assert(back.schema == src.schema) // ORC keeps the full type fidelity
+    val key = Seq("l_orderkey", "l_linenumber")
+    assert(back.orderBy(key.map(col): _*).collect().toSeq ==
+      src.orderBy(key.map(col): _*).collect().toSeq)
+  }
+
   test("documents round-trip through raw text (the reference's format)") {
     val dir = Files.createTempDirectory("graft-text").toString
     val src = Tables.df(spark, sf, "documents").select("text")
