@@ -136,7 +136,9 @@ case class KllUnionAgg(
 /** Quantile lookup on a sketch blob: value at normalized rank q
   * (INCLUSIVE criteria — the DataSketches default). NULL on an empty
   * sketch rather than the library's exception: a group with no non-null
-  * values is data, not a crash. */
+  * values is data, not a crash. An out-of-range rank (q < 0 or q > 1)
+  * or a blob that is not a KLL sketch fails with a named, descriptive
+  * error instead of a raw DataSketches exception deep in an executor. */
 case class KllQuantile(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -145,9 +147,13 @@ case class KllQuantile(left: Expression, right: Expression)
   // (0.5 parses as DECIMAL(1,1)) to DOUBLE instead of failing.
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(BinaryType, DoubleType)
   override protected def nullSafeEval(blob: Any, q: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(blob.asInstanceOf[Array[Byte]]))
+    val rank = q.asInstanceOf[Double]
+    if (rank < 0.0 || rank > 1.0 || rank.isNaN)
+      throw new IllegalArgumentException(
+        s"kll_quantile: normalized rank must be in [0, 1], got $rank")
+    val sk = KllAgg.heapifyOrFail(blob.asInstanceOf[Array[Byte]], "kll_quantile")
     if (sk.isEmpty) null
-    else sk.getQuantile(q.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    else sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -160,7 +166,7 @@ case class KllRank(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(BinaryType, DoubleType)
   override protected def nullSafeEval(blob: Any, v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(blob.asInstanceOf[Array[Byte]]))
+    val sk = KllAgg.heapifyOrFail(blob.asInstanceOf[Array[Byte]], "kll_rank")
     if (sk.isEmpty) null
     else sk.getRank(v.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
   }
@@ -170,6 +176,18 @@ case class KllRank(left: Expression, right: Expression)
 
 object KllAgg {
   val DefaultK = 200
+
+  /** Heapify a sketch blob, naming the calling function on failure so a
+    * corrupt/foreign BINARY surfaces as a debuggable error, not a raw
+    * SketchesArgumentException from executor internals. */
+  private[functions] def heapifyOrFail(
+      bytes: Array[Byte], fn: String): KllDoublesSketch =
+    try KllDoublesSketch.heapify(Memory.wrap(bytes))
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$fn: input is not a valid KLL doubles sketch " +
+          s"(${bytes.length} bytes): ${e.getMessage}", e)
+    }
 
   /** Aggregate Column: BINARY KLL sketch of a double column. */
   def kll_agg(value: Column, k: Int = DefaultK): Column =

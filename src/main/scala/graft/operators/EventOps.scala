@@ -966,10 +966,14 @@ object EventOps {
     * the view incrementally, and proves merge ≡ full recompute per group:
     * exact equality for the arithmetic state, bit-equality for the
     * sketch union (associativity of register max), boolean-gated so the
-    * DuckDB full-recompute oracle hash-enforces it. Sums compare ROUNDED
-    * (1e-6): partial-sum merge order differs from the direct scan's, and
-    * IEEE addition is not associative — exactly the tolerance a real
-    * incremental pipeline must declare.
+    * DuckDB full-recompute oracle hash-enforces it. Sums compare with an
+    * ABSOLUTE 1e-6 tolerance (|merged − direct| ≤ 1e-6, the boolean is
+    * the output): partial-sum merge order differs from the direct scan's,
+    * and IEEE addition is not associative — exactly the tolerance a real
+    * incremental pipeline must declare. (Comparing independently ROUNDED
+    * values would be boundary-flaky: two sums within tolerance can still
+    * round to different 6-dp values.) Only the display column `total` is
+    * rounded, identically in both engines.
     *
     * Scale shape: each state() is one partial-agg pass over its input;
     * the merge is a union of two bounded (type × day) state tables
@@ -999,7 +1003,7 @@ object EventOps {
           round(col("total"), 6).as("total"), col("lo"), col("hi"),
           (col("m_cnt") === col("cnt") && col("m_lo") === col("lo")
             && col("m_hi") === col("hi")
-            && round(col("m_total"), 6) === round(col("total"), 6))
+            && abs(col("m_total") - col("total")) <= 1e-6)
             .as("arith_merge_exact"),
           (col("m_est") === col("d_est")).as("sketch_merge_exact"))
         .orderBy("event_type", "day")

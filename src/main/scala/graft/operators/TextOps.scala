@@ -993,8 +993,8 @@ object TextOps {
       SELECT source,
              count(CASE WHEN cum_before < 700 THEN 1 END) AS n_kept,
              count(CASE WHEN cum_before >= 700 THEN 1 END) AS n_dropped,
-             coalesce(sum(CASE WHEN cum_before < 700 THEN n_tokens END), 0)
-               AS tokens_kept
+             CAST(coalesce(sum(CASE WHEN cum_before < 700 THEN n_tokens END),
+                           0) AS BIGINT) AS tokens_kept
       FROM c
       GROUP BY source
       ORDER BY source"""))

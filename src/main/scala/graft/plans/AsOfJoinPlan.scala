@@ -66,6 +66,20 @@ case class AsOfJoinExec(
     direction: String = "backward",
     tolerance: Option[Double] = None) extends BinaryExecNode {
 
+  // Validate at planning, not first execution: a logical AsOfJoin built
+  // directly (bypassing AsOf.join's API checks — e.g. a future SQL
+  // surface) must still fail with a named message, not a generic
+  // "unorderable runtime values" IllegalStateException mid-task.
+  require(Set("backward", "forward", "nearest")(direction),
+    s"asof join: direction must be backward|forward|nearest, got $direction")
+  require(tolerance.forall(_ >= 0), "asof join: tolerance must be >= 0")
+  require(direction != "nearest" || leftTime.dataType.typeName != "string",
+    "asof join: direction=nearest needs a numeric/timestamp/date time " +
+      "column (string times have no distance)")
+  require(tolerance.isEmpty || leftTime.dataType.typeName != "string",
+    "asof join: tolerance needs a numeric/timestamp/date time column " +
+      "(string times have no distance)")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

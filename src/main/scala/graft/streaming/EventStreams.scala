@@ -446,6 +446,22 @@ object EventStreams {
         try Some(in.readLong()) finally in.close()
       }
     }
+    // A legitimate foreachBatch replay can only be of the LAST committed
+    // batch (the marker id): the engine re-delivers a batch only when it
+    // failed after the sink committed but before the checkpoint advanced.
+    // An id STRICTLY BELOW the marker means the stream's checkpoint was
+    // wiped/recreated (batch ids restarted) while the view parquet was
+    // kept — silently skipping would drop every early batch, so fail
+    // loudly instead: checkpoint and view must be deleted together.
+    batchId.foreach { id =>
+      if (fs.exists(target)) committedId(target).foreach { marker =>
+        require(id >= marker,
+          s"swapSnapshot: batch $id is below the committed marker $marker " +
+            s"in $tablePath — the streaming checkpoint appears to have been " +
+            "reset while the snapshot was kept. Delete the snapshot " +
+            "directory and the checkpoint together, then restart.")
+      }
+    }
     val replayed = batchId.exists(id =>
       fs.exists(target) && committedId(target).exists(id <= _))
     if (!replayed) {
