@@ -711,7 +711,10 @@ object DedupOps {
       SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
       FROM walk
       GROUP BY node
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    // Bench headline: the iterative CC over the shared bucketed adjacency
+    // is the graph workhorse of the dedup family — track it per round.
+    headline = true)
 
   // ---------------------------------------------------------------- d07
   /** EXACT similarity self-join by prefix filtering (the AllPairs /
@@ -1443,6 +1446,44 @@ object DedupOps {
       GROUP BY cluster_id
       ORDER BY cluster_id"""))
 
+  // ---------------------------------------------------------------- d16
+  /** Per-doc SUMMARY of the d09 containment relation — the consumer shape
+    * for 100 TB. d09's full ordered-pair set is output-bound at scale
+    * (146M rows at sf1.0, 713 s dominated by materializing pairs a
+    * downstream job immediately re-aggregates); what a curation pass
+    * actually reads per document is "is this doc swallowed by others,
+    * how many, and how completely". This entry runs the SAME candidate +
+    * budgeted-verify kernel but folds the pair stream straight into a
+    * per-doc aggregate — partial aggregation collapses pairs map-side, so
+    * the shuffle and the output are linear in contained DOCS, not pairs.
+    * `best_containment` maxes over per-pair values that are bit-identical
+    * integer divisions on both engines (see d09), so round(max) cannot
+    * flake. */
+  val d16 = Q("d16_containment_summary",
+    (s, dir) =>
+      containmentPairs(s, dir)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_super"),
+          min("doc_b").as("first_super"),
+          round(max("containment"), 4).as("best_containment"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c
+        FROM w a JOIN w b ON a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.9)
+      SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
+             min(doc_b) AS first_super,
+             round(max(c), 4) AS best_containment
+      FROM pairs
+      GROUP BY doc_a
+      ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15)
+    d11, d12, d13, d14, d15, d16)
 }

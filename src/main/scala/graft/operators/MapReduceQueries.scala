@@ -78,5 +78,54 @@ object MapReduceQueries {
       FROM r2
       ORDER BY rank DESC, page"""))
 
-  val queries: Seq[Q] = Seq(mr01, mr02)
+  // --------------------------------------------------------------- mr03
+  /** WordCount over BYTE-ALIGNED blocks — the reference's DEFAULT store
+    * layout (`file_operation.ex:185-186` slices at fixed byte offsets with
+    * no newline resync), which SURVEY §4.3.1 flags as a correctness
+    * hazard: a word straddling a block boundary reaches two different
+    * mappers as two fragments, and each fragment ≥2 chars (or a torn-off
+    * 'a'/'i') counts as its own word. mr01 is the record-correct
+    * line-aligned run; this entry makes the documented miscount itself
+    * MACHINE-CHECKED — the oracle reproduces the exact same torn
+    * fragments with the same fixed-offset substring rule, so the driver
+    * hash pins the divergent-by-design totals.
+    *
+    * Blocks are carved per document in expression space (BlockSplit's
+    * byte-mode rule at document granularity — sequence + substring,
+    * codegen, no driver work) and each block is ONE map record, the
+    * reference's map granularity. The corpus is strictly [a-z ] (checked
+    * against sf0.01), so space-split fragments equal WordRun-regex
+    * fragments and the simplified oracle validity rule is exact. */
+  val mr03 = Q("mr03_wordcount_bytemode",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val blockSize = 64
+      val blocks = Tables.df(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(explode(expr(
+          s"""transform(
+             |  sequence(0, int(ceil(length(text) / CAST($blockSize AS DOUBLE))) - 1),
+             |  i -> substring(text, i * $blockSize + 1, $blockSize))"""
+            .stripMargin)).as("data"))
+        .as[String]
+      MiniJob.transform(s, WordCount.spec(Some(SortOpt.Default)), blocks)
+        .toDF("word", "n")
+    },
+    Some("""
+      WITH blocks AS (
+        SELECT substring(text, (i - 1) * 64 + 1, 64) AS data
+        FROM (
+          SELECT text,
+                 unnest(generate_series(1,
+                   CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+          FROM documents
+          WHERE length(text) > 0))
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(data, ' ')) AS word FROM blocks) t
+      WHERE word <> '' AND (word IN ('a','i') OR length(word) >= 2)
+      GROUP BY word
+      ORDER BY n DESC, word"""))
+
+  val queries: Seq[Q] = Seq(mr01, mr02, mr03)
 }

@@ -108,7 +108,11 @@ object PipelineOps {
              round(avg(n_tokens), 2) AS avg_tokens
       FROM kept
       GROUP BY lang
-      ORDER BY lang"""))
+      ORDER BY lang"""),
+    // Bench headline: the end-to-end curation pipeline is what the
+    // project exists for — regressions here must show in BENCH, not
+    // just in TPC-H shapes.
+    headline = true)
 
   // ---------------------------------------------------------------- p02
   /** Dataset card — the release artifact every corpus ships with: per

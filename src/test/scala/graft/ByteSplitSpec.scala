@@ -76,6 +76,33 @@ class ByteSplitSpec extends AnyFunSuite {
     assert(b2.toSeq == Seq("x" * 20 + "\n", "yy\n"))
   }
 
+  test("mr03 byte-mode WordCount reproduces the fragment miscount end-to-end") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mr03").toString
+    val texts = Seq(
+      0L -> ("the quick brown fox jumps over the lazy dog " * 3).trim,
+      // 57-char period: the 64-char boundary lands at "alpha b|eta …",
+      // tearing "beta" into an invalid "b" and a counted "eta"
+      1L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2).trim,
+      2L -> "short doc")
+    texts.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$d/documents.parquet")
+    // independent model of the reference's default store: fixed-offset
+    // 64-char slices, then tokenizer parity per block
+    val expected = texts.flatMap { case (_, t) =>
+      t.grouped(64).flatMap(graft.examples.WordCount.tokenize)
+    }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val got = Queries.byName("mr03_wordcount_bytemode").build(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // and the miscount is real: line-aligned tokenization disagrees
+    val aligned = texts.flatMap { case (_, t) =>
+      graft.examples.WordCount.tokenize(t)
+    }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    assert(got != aligned)
+    assert(got.contains("eta") || got.keySet != aligned.keySet)
+  }
+
   test("newline-packed blocks are byte-exact for invalid-UTF-8 input") {
     // 0xFF / 0xFE are not valid UTF-8; a decode-then-reencode chunker
     // would rewrite them as U+FFFD and shift every later boundary
