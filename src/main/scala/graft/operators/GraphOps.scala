@@ -138,11 +138,46 @@ object GraphOps {
     * guaranteed, ~7× cheaper on this corpus — the d06 decision).
     * Oracle: DuckDB closes the same wedges over the quadratic exact
     * pair set. */
+  /** Triangle count via PER-EDGE sorted-neighborhood intersection —
+    * the shuffle-free successor to [[triangleCountDegreeOrdered]]'s
+    * wedge join. Same degree orientation (each triangle counted once,
+    * at its lowest-rank vertex: for oriented edge u→v the common
+    * out-neighbors N⁺(u)∩N⁺(v) are exactly the triangles closed over
+    * that edge), but the Σ C(outdeg,2) wedge EXPLOSION never becomes
+    * rows: each edge computes one codegen'd sorted-array merge
+    * ([[graft.functions.VectorFunctions.sorted_long_intersect_within]]
+    * with budget=|A|, i.e. exact count, never −1) over the two
+    * endpoints' out-lists. The wedge join shuffled+sorted the full
+    * explosion (~500M rows at sf1.0, measured 639 s); here the same
+    * O(m^{3/2}) element comparisons run inside one whole-stage-codegen
+    * scan, and what moves is O(m) edges plus the inverted
+    * neighborhood. That table (one row per vertex, Σ|N⁺| = m sorted
+    * longs — the orientation bounds every array at O(√m)) broadcasts
+    * when small (both attaches ride ONE broadcast: scan → BHJ → BHJ →
+    * merge → partial agg, zero wide shuffles — 639 → 9.5 s at sf1.0);
+    * past `bcMaxAdjRows` symmetric rows it degrades to two equi-joins
+    * whose fat side is the same bytes the wedge shuffle moved, minus
+    * the 50×-row overhead and the sort — the 100 TB fallback. */
+  def triangleCountAdjIntersect(adj: DataFrame,
+      broadcastNbr: Option[Boolean] = None,
+      bcMaxAdjRows: Long = 100000000L): DataFrame = {
+    val o = degreeOrientedFromAdj(adj).materialize
+    val nbr0 = o.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns")).materialize
+    val bc = broadcastNbr.getOrElse(adj.count() <= bcMaxAdjRows)
+    val nbr = if (bc) broadcast(nbr0) else nbr0
+    o.select(col("src"), col("dst"))
+      .join(nbr, "src")
+      .select(col("dst").as("vv"), col("ns").as("ns_u"))
+      .join(nbr.toDF("vv", "ns_v"), "vv")
+      .select(graft.functions.VectorFunctions.sorted_long_intersect_within(
+        col("ns_u"), col("ns_v"), size(col("ns_u"))).cast("long").as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
+  }
+
   val g01 = Q("g01_neardup_triangles",
     (s, dir) =>
-      triangleCountDegreeOrdered(
-        DedupOps.sharedPairGraph(s, dir).select("doc_a", "doc_b"),
-        adj = Some(DedupOps.sharedAdjacency(s, dir))),
+      triangleCountAdjIntersect(DedupOps.sharedAdjacency(s, dir)),
     Some("""
       WITH w AS (
         SELECT doc_id,
