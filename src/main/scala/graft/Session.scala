@@ -42,6 +42,10 @@ object Session {
       // would kill the default 10s executor heartbeat in local mode
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // the dedup verify broadcasts the per-doc array frame when it fits
+      // (DedupOps.exactVerify): at sf10 that is ~600 MB serialized, over
+      // the 1g default that caps driver-side broadcast collection
+      .config("spark.driver.maxResultSize", "4g")
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

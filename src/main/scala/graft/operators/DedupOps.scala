@@ -289,8 +289,22 @@ object DedupOps {
   // (d09: 52 → 42 s, d04: 43 → 19 s).
   private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
-    val ha = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
-    val hb = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    // The array attaches are the kernel's byte hog at scale: as SMJs,
+    // each ships the full candidate frame again, the second time with a
+    // ~1.2 KB array on every row — ≈140 GB shuffled+sorted at sf10's
+    // ~120M candidates, past the page cache and into real disk IO (the
+    // measured 46–55×-at-10× cliff on d02/d07, r9 perf-watch). The sets
+    // frame is one row per DOC — 502k rows (~600 MB) when the pair set
+    // is 10⁸ — so broadcast it while it fits and both attaches become
+    // map-side lookups in the candidate scan: zero candidate shuffles.
+    // Beyond `bcMaxDocs` fall back to SMJ — on a real cluster the
+    // executor count scales the aggregate shuffle bandwidth, and
+    // pair-linear shuffle is the floor for an exact all-pairs verify.
+    val bcMaxDocs = 2000000L
+    val bc = sets.count() <= bcMaxDocs
+    val ha0 = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+    val hb0 = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
+    val (ha, hb) = if (bc) (broadcast(ha0), broadcast(hb0)) else (ha0, hb0)
     cand.join(ha, "doc_a").join(hb, "doc_b")
       .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
       .filter(col("jac") >= threshold)
@@ -897,9 +911,15 @@ object DedupOps {
     s.table(table)
   }
 
-  private[graft] def prefixFilterPairsOn(sets: DataFrame,
-      threshold: Double): DataFrame =
+  private[graft] def prefixFilterPairsOn(sets0: DataFrame,
+      threshold: Double): DataFrame = {
+    // sets feeds three consumers (prefix build + both verify sides) —
+    // materialize once, the d09/containment discipline; this also makes
+    // exactVerify's broadcast row-count guard a cached-block count
+    // instead of a fourth tokenize scan
+    val sets = sets0.materialize
     exactVerify(sets, prefixCandidatesOn(sets, threshold), threshold)
+  }
 
   val d07 = Q("d07_allpairs_jaccard",
     (s, dir) =>
@@ -1165,8 +1185,11 @@ object DedupOps {
     *
     * Batch stand-in here: doc_id % 10 == 7 (a ~10% delta at any scale
     * factor); a real run would pass the ingest frame as `isNew`. */
-  private[graft] def incrementalPairs(sets: DataFrame, isNew: Column,
+  private[graft] def incrementalPairs(sets0: DataFrame, isNew: Column,
       threshold: Double): DataFrame = {
+    // same multi-consumer discipline as prefixFilterPairsOn: the frame
+    // feeds the prefix build and both verify sides
+    val sets = sets0.materialize
     val pref = rarityPrefix(sets, threshold)
     val cand = pref.filter(isNew).alias("x")
       .join(pref.filter(!isNew).alias("y"), Seq("h"))
