@@ -82,7 +82,13 @@ final class MiniHadoopApi(
 
   private val seq = new AtomicLong()
   private val infos = new ConcurrentHashMap[String, JobInfo]()
-  private val pending = new LinkedBlockingDeque[Queued]()
+  // Bounded at the queue itself so the `queue_full` check is atomic: the
+  // reference serializes submits through a GenServer; here concurrent
+  // submitters race, and a check-then-put against an unbounded deque can
+  // overfill at the boundary. Capacity is maxQueueSize + 1 because the
+  // reference rejects only when the pending count already EXCEEDS the
+  // cap (`compute_operation.ex:113`).
+  private val pending = new LinkedBlockingDeque[Queued](maxQueueSize + 1)
   private val pendingIds = new ConcurrentHashMap[String, java.lang.Boolean]()
   private val runningIds = new ConcurrentHashMap[String, java.lang.Boolean]()
   private val submitted = new AtomicLong()
@@ -123,9 +129,13 @@ final class MiniHadoopApi(
   private def progressOf(jobId: String): Map[String, PhaseCount] =
     Seq("map", "reduce").flatMap { phase =>
       Option(phaseTotal.get((jobId, phase))).map { t =>
-        phase -> PhaseCount(
-          Option(phaseDone.get((jobId, phase))).map(_.get()).getOrElse(0L),
-          t.get())
+        val total = t.get()
+        val done =
+          Option(phaseDone.get((jobId, phase))).map(_.get()).getOrElse(0L)
+        // phaseDone counts every SUCCESSFUL attempt; task retries and
+        // speculation can finish the same partition twice — clamp so the
+        // documented completed <= total contract holds
+        phase -> PhaseCount(math.min(done, total), total)
       }
     }.toMap
 
@@ -138,15 +148,25 @@ final class MiniHadoopApi(
   }
 
   private def runLoop(): Unit =
-    try {
-      while (!closed) {
+    while (!closed) {
+      try {
         val q = pending.poll(100, TimeUnit.MILLISECONDS)
         if (q != null) {
           pendingIds.remove(q.jobId)
           runJob(q)
         }
+      } catch {
+        case _: InterruptedException => return // close() interrupts: exit
+        // A FATAL error from a job thunk (OutOfMemoryError, LinkageError)
+        // must not silently kill the runner: runJob has already recorded
+        // the job as failed before rethrowing, so log and keep draining —
+        // a dead runner with maxConcurrentJobs=1 would strand every
+        // queued job in `pending` forever.
+        case t: Throwable =>
+          System.err.println(
+            s"[minihadoop-runner] fatal error escaped a job: $t")
       }
-    } catch { case _: InterruptedException => () }
+    }
 
   private def update(jobId: String)(f: JobInfo => JobInfo): Unit =
     infos.computeIfPresent(jobId, (_, info) => f(info))
@@ -160,22 +180,42 @@ final class MiniHadoopApi(
     try {
       val res = q.thunk()
       val t1 = System.currentTimeMillis()
-      update(q.jobId)(_.copy(status = "completed", completedAt = Some(t1),
+      finishJob(q.jobId)(_.copy(status = "completed", completedAt = Some(t1),
         elapsedMs = Some(t1 - t0), result = Some(res)))
       completed.incrementAndGet()
     } catch {
-      case NonFatal(e) =>
+      // Throwable, not NonFatal: an OutOfMemoryError/LinkageError from a
+      // thunk must still flip the job to `failed` (a status stuck on
+      // `running` forever is the worse lie) — the fatal then rethrows to
+      // runLoop, which logs and keeps the runner alive.
+      case e: Throwable =>
         val t1 = System.currentTimeMillis()
         // M3 taxonomy classes surface verbatim in the polled error field,
         // like the reference's JobExecution.error
-        update(q.jobId)(_.copy(status = "failed", completedAt = Some(t1),
+        finishJob(q.jobId)(_.copy(status = "failed", completedAt = Some(t1),
           elapsedMs = Some(t1 - t0),
           error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")))
         failed.incrementAndGet()
+        if (!NonFatal(e)) throw e
     } finally {
       spark.sparkContext.clearJobGroup()
       runningIds.remove(q.jobId)
     }
+  }
+
+  /** Terminal transition: fold the live listener counters into the
+    * stored JobInfo ONCE, then drop them — a long-lived facade must not
+    * leak (jobId, phase) counters and stage entries per job forever.
+    * `jobInfo` serves the snapshot for terminal jobs. */
+  private def finishJob(jobId: String)(f: JobInfo => JobInfo): Unit = {
+    val snap = progressOf(jobId)
+    update(jobId)(i => f(i).copy(progress = snap))
+    Seq("map", "reduce").foreach { phase =>
+      phaseTotal.remove((jobId, phase))
+      phaseDone.remove((jobId, phase))
+    }
+    val it = stagePhase.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue._1 == jobId) it.remove()
   }
 
   // ---- public API ---------------------------------------------------
@@ -185,17 +225,38 @@ final class MiniHadoopApi(
     * `compute_operation.ex:113`). */
   def submitJob[K: Encoder, V](spec: JobSpec[K, V], lines: Dataset[String],
       outputDir: String)(
-      implicit kvEnc: Encoder[(K, V)]): Either[String, String] = {
+      implicit kvEnc: Encoder[(K, V)]): Either[String, String] =
+    enqueue(spec.name, () => MiniJob.runOn(spark, spec, lines, outputDir))
+
+  private def enqueue(name: String,
+      thunk: () => JobResult): Either[String, String] = {
     if (closed) return Left("shutdown")
-    if (pending.size > maxQueueSize) return Left("queue_full")
-    val jobId = f"job_${seq.incrementAndGet()}%04d_${spec.name}"
-    infos.put(jobId, JobInfo(jobId, spec.name, "pending",
+    val jobId = f"job_${seq.incrementAndGet()}%04d_$name"
+    // record the info BEFORE the enqueue (a runner may poll the job the
+    // instant it lands), but let the deque's own capacity enforce the
+    // bound — offer() is atomic where a size check-then-put is not
+    infos.put(jobId, JobInfo(jobId, name, "pending",
       System.currentTimeMillis(), None, None, None, Map.empty, None, None))
     pendingIds.put(jobId, java.lang.Boolean.TRUE)
-    pending.put(Queued(jobId, () => MiniJob.runOn(spark, spec, lines, outputDir)))
+    if (!pending.offer(Queued(jobId, thunk))) {
+      pendingIds.remove(jobId)
+      infos.remove(jobId)
+      return Left("queue_full")
+    }
     submitted.incrementAndGet()
     Right(jobId)
   }
+
+  /** Test hook: drive an arbitrary thunk through the same lifecycle
+    * (used to pin the fatal-error and queue-bound contracts without a
+    * Spark job in the loop). */
+  private[graft] def submitRaw(name: String)(
+      thunk: () => JobResult): Either[String, String] = enqueue(name, thunk)
+
+  /** Diagnostics: live listener bookkeeping entries (the pruning spec
+    * asserts these drain to zero once every job is terminal). */
+  private[graft] def listenerEntryCount: Int =
+    stagePhase.size + phaseTotal.size + phaseDone.size
 
   /** File-path submit — `MiniHadoop.submit_job` over stored files:
     * multiple inputs union by concatenation (S8/§3.1 step 1-4). */
@@ -209,6 +270,10 @@ final class MiniHadoopApi(
   def jobInfo(jobId: String): Either[String, JobInfo] =
     Option(infos.get(jobId)) match {
       case None => Left("not_found")
+      // terminal jobs serve the snapshot folded in by finishJob (the
+      // live counters are pruned then); live jobs read the counters
+      case Some(info) if info.status == "completed" || info.status == "failed" =>
+        Right(info)
       case Some(info) => Right(info.copy(progress = progressOf(jobId)))
     }
 

@@ -287,6 +287,11 @@ object DedupOps {
   // d02 7.1 → 9.0 s on the budgeted variant, so the plain fused merge
   // stays. The budgeted kernel pays where candidates are mostly false
   // (d09: 52 → 42 s, d04: 43 → 19 s).
+  /** Test/measurement override for [[exactVerify]]'s broadcast decision
+    * (spec pins the forced shuffle-hash plan; the sf1.0 forced-run ledger
+    * row uses the `SPARK_GRAFT_VERIFY_BC=false` env form). */
+  @volatile private[graft] var verifyBcOverride: Option[Boolean] = None
+
   private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     // The array attaches are the kernel's byte hog at scale: as SMJs,
@@ -297,18 +302,46 @@ object DedupOps {
     // frame is one row per DOC — 502k rows (~600 MB) when the pair set
     // is 10⁸ — so broadcast it while it fits and both attaches become
     // map-side lookups in the candidate scan: zero candidate shuffles.
-    // Beyond `bcMaxDocs` fall back to SMJ — on a real cluster the
-    // executor count scales the aggregate shuffle bandwidth, and
-    // pair-linear shuffle is the floor for an exact all-pairs verify.
-    val bcMaxDocs = 2000000L
-    val bc = sets.count() <= bcMaxDocs
+    //
+    // The guard is BYTE-derived, not a row-count proxy: per-doc arrays
+    // are unbounded (2M long docs can be gigabytes where 2M tweets are
+    // not), and the deserialized broadcast lands on the driver first —
+    // so estimate from the already-materialized frame (rows + Σ|hs|)
+    // and cap at the lower of a fixed budget and a fraction of the
+    // live driver heap (TWO copies broadcast: the doc_a and doc_b
+    // aliases).
+    val st = sets.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("hs"))), lit(0L)).as("e")).head()
+    val estBytes = st.getLong(0) * 48L + st.getLong(1) * 8L
+    val bc = verifyBcOverride
+      .orElse(sys.env.get("SPARK_GRAFT_VERIFY_BC").map(_.toBoolean))
+      .getOrElse(
+        estBytes <= math.min(1500000000L, Runtime.getRuntime.maxMemory / 10))
     val ha0 = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb0 = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
-    val (ha, hb) = if (bc) (broadcast(ha0), broadcast(hb0)) else (ha0, hb0)
-    cand.join(ha, "doc_a").join(hb, "doc_b")
-      .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    if (bc) {
+      cand.join(broadcast(ha0), "doc_a").join(broadcast(hb0), "doc_b")
+        .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    } else {
+      // Past-broadcast path: SHUFFLE-HASH attaches, not SMJ. Pair-linear
+      // shuffle is the floor for an exact all-pairs verify (each pair
+      // must meet one of its arrays somewhere), but SMJ additionally
+      // EXTERNAL-SORTS the array-laden candidate frame — the multi-pass
+      // spill that turned 140 GB of shuffle into the measured cliff.
+      // Hashing the per-doc side (small by construction: one row per
+      // doc, ~1/200th of the pair frame) keeps the candidate stream
+      // sort-free: cand shuffles once by doc_a (16 B rows), the
+      // attached frame once by doc_b (the one array-laden exchange),
+      // and the sets side builds a per-partition hash map. On a real
+      // cluster the same plan scales with aggregate shuffle bandwidth.
+      cand.join(ha0.hint("SHUFFLE_HASH"), "doc_a")
+        .join(hb0.hint("SHUFFLE_HASH"), "doc_b")
+        .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }
   }
 
   val d02 = Q("d02_minhash_lsh",
@@ -756,13 +789,15 @@ object DedupOps {
     * quadratic stage. */
   /** The duplicate-free candidate stage of d07 (exposed for the
     * exactly-once spec). A pair sharing k prefix tokens appears in k
-    * joined rows; the `first_common_long == h` filter keeps only the row
-    * joined on the MINIMUM shared prefix hash — exactly-once emission in
-    * expression space, replacing a `.distinct()` that had to shuffle
-    * every (pair × shared-prefix-token) copy (the d02 first-matching-band
-    * trick, transposed to variable-length prefixes). Each prefix row
-    * carries its doc's full prefix-hash array (`prefh`, ~10% of the doc's
-    * tokens) to make the rule locally decidable. */
+    * joined rows; the `first_common_long == r` filter keeps only the row
+    * joined on the FIRST shared prefix token in the global rarity order
+    * — exactly-once emission in expression space, replacing a
+    * `.distinct()` that had to shuffle every (pair × shared-prefix-token)
+    * copy (the d02 first-matching-band trick, transposed to
+    * variable-length prefixes). Each prefix row carries its doc's full
+    * prefix-rank array (`prefr`, ~10% of the doc's tokens) to make the
+    * rule locally decidable, plus the token's POSITION in the doc's
+    * rarity order for the PPJoin bound. */
   private[graft] def prefixCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame =
     prefixCandidatesOn(hashedWordSets(s, dir), threshold)
@@ -793,12 +828,36 @@ object DedupOps {
     val conf = pref0.sparkSession.sessionState.conf
     val nPart = math.min(4096L, math.max(conf.numShufflePartitions.toLong,
       pref0.count() / 10000L)).toInt
-    val pref = pref0.repartition(nPart, col("h"))
-    pref.alias("x").join(pref.alias("y"), Seq("h"))
+    val pref = pref0.repartition(nPart, col("r"))
+    // Conjunct order is the hot-loop budget: the size and POSITIONAL
+    // bounds are integer compares and kill the overwhelming majority of
+    // enumerated rows before the first_common array merge runs (codegen
+    // short-circuits And left-to-right).
+    //
+    // The positional filter is PPJoin's (Xiao et al., WWW'08) upper
+    // bound stated on the FIRST shared token in the global rarity order:
+    // on the exactly-once row (first_common == r) no shared token
+    // precedes r in either doc, so |a∩b| ≤ 1 + min(sz_a − pos_a,
+    // sz_b − pos_b); Jaccard ≥ t needs |a∩b| ≥ ⌈t/(1+t)·(sz_a+sz_b)⌉.
+    // A true pair always passes ON ITS KEPT ROW (the bound is ≥ its
+    // real overlap there), so completeness is intact — but near-miss
+    // pairs that share many mid-rarity tokens (the cross-replica-twin
+    // shape: J ≈ 0.74 at t = 0.9, sharing ~85% of tokens BELOW their
+    // salted rarity prefixes) die here at candidate time instead of
+    // reaching the exact verify: their first shared token sits AFTER
+    // the per-doc salt, so the remaining-suffix bound cannot reach the
+    // required overlap. Measured at sf1.0: 91.4M candidates → ~true
+    // pair volume; this term — not the banding — drove the 46× sf10
+    // cliff (2.45B candidates at 10× the docs).
+    val need = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")) - 1e-9)
+    pref.alias("x").join(pref.alias("y"), Seq("r"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
         col("x.sz") >= col("y.sz") * threshold - 1e-9 &&
-        first_common_long(col("x.prefh"), col("y.prefh")) === col("h"))
+        lit(1) + least(col("x.sz") - col("x.pos"),
+          col("y.sz") - col("y.pos")) >= need &&
+        first_common_long(col("x.prefr"), col("y.prefr")) === col("r"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
@@ -1073,21 +1132,34 @@ object DedupOps {
     * completeness; a longer one only adds candidates the verify culls). */
   private def rarityPrefix(sets: DataFrame, threshold: Double): DataFrame = {
     val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    // Global token RANK: an order-preserving 64-bit id over the
+    // (df asc, h asc) rarity order. `monotonically_increasing_id` after
+    // a global sort is order-preserving across partitions (the range
+    // exchange orders partition indices; AQE coalescing only merges
+    // ADJACENT partitions) and injective — ranks are sparse, which is
+    // fine: only their ORDER is consumed. One vocabulary-linear sort,
+    // the same cost class as the df aggregate feeding it. The rank
+    // exists so the kernel's exactly-once rule and the candidate join's
+    // POSITIONAL filter (prefixCandidatesOn) agree on WHICH shared
+    // token is "first": prefix arrays sorted by rank make
+    // first_common_long return the first common token IN THE RARITY
+    // ORDER itself, not merely the smallest hash — the token the PPJoin
+    // position bound is stated on.
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc token order: (df asc, h asc) — one consistent global order.
-    // `prefh` re-sorts the SELECTED prefix by plain hash: the rarity order
-    // decides WHICH tokens are join keys (efficiency), while exactly-once
-    // emission only needs one canonical shared token per pair, and min-h
-    // over ascending arrays is what first_common_long finds in one merge.
-    tok.join(dfreq, "h")
+      .orderBy("df", "h")
+      .withColumn("r", monotonically_increasing_id())
+      .materialize
+    tok.join(dfreq.select("h", "r"), "h")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
+      .agg(sort_array(collect_list(struct(col("r"), col("h")))).as("ord"),
         first(col("sz")).as("sz"))
       .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
-      .withColumn("prefh",
-        expr("array_sort(transform(slice(ord, 1, p), s -> s.h))"))
-      .select(col("doc_id"), col("sz"), col("prefh"),
-        explode(col("prefh")).as("h"))
+      // the prefix IS the rank-ascending slice — no re-sort needed
+      .withColumn("prefr", expr("transform(slice(ord, 1, p), s -> s.r)"))
+      .select(col("doc_id"), col("sz"), col("prefr"),
+        posexplode(expr("slice(ord, 1, p)")).as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("sz"), col("prefr"),
+        (col("pos0") + 1).as("pos"), col("t.r").as("r"), col("t.h").as("h"))
   }
 
   /** Duplicate-free candidate stage of d09 (exposed for the exactly-once
@@ -1191,11 +1263,17 @@ object DedupOps {
     // feeds the prefix build and both verify sides
     val sets = sets0.materialize
     val pref = rarityPrefix(sets, threshold)
+    // same rank join + positional bound as prefixCandidatesOn (the
+    // PPJoin filter transposes unchanged to the new×old direction)
+    val need = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")) - 1e-9)
     val cand = pref.filter(isNew).alias("x")
-      .join(pref.filter(!isNew).alias("y"), Seq("h"))
+      .join(pref.filter(!isNew).alias("y"), Seq("r"))
       .filter(col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
         col("x.sz") >= col("y.sz") * threshold - 1e-9 &&
-        first_common_long(col("x.prefh"), col("y.prefh")) === col("h"))
+        lit(1) + least(col("x.sz") - col("x.pos"),
+          col("y.sz") - col("y.pos")) >= need &&
+        first_common_long(col("x.prefr"), col("y.prefr")) === col("r"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     exactVerify(sets, cand, threshold)
   }

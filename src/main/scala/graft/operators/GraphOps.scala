@@ -155,16 +155,24 @@ object GraphOps {
     * longs — the orientation bounds every array at O(√m)) broadcasts
     * when small (both attaches ride ONE broadcast: scan → BHJ → BHJ →
     * merge → partial agg, zero wide shuffles — 639 → 9.5 s at sf1.0);
-    * past `bcMaxAdjRows` symmetric rows it degrades to two equi-joins
+    * past `bcMaxAdjBytes` (estimated) it degrades to two equi-joins
     * whose fat side is the same bytes the wedge shuffle moved, minus
     * the 50×-row overhead and the sort — the 100 TB fallback. */
   def triangleCountAdjIntersect(adj: DataFrame,
       broadcastNbr: Option[Boolean] = None,
-      bcMaxAdjRows: Long = 100000000L): DataFrame = {
+      bcMaxAdjBytes: Long = 1500000000L): DataFrame = {
     val o = degreeOrientedFromAdj(adj).materialize
     val nbr0 = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns")).materialize
-    val bc = broadcastNbr.getOrElse(adj.count() <= bcMaxAdjRows)
+    // Byte-derived broadcast guard, not a row-count proxy: the oriented
+    // neighborhood table holds m longs plus per-vertex array overhead,
+    // and the deserialized broadcast lives on the DRIVER first — so the
+    // cap is the lower of a fixed budget and an eighth of the actual
+    // driver heap (a session launched without run.sh's 48g default must
+    // not be pushed over by a guard tuned for it). ~16 B/symmetric edge
+    // ≈ 8 B oriented long + amortized row/array headers.
+    val bcBudget = math.min(bcMaxAdjBytes, Runtime.getRuntime.maxMemory / 8)
+    val bc = broadcastNbr.getOrElse(adj.count() * 16L <= bcBudget)
     val nbr = if (bc) broadcast(nbr0) else nbr0
     o.select(col("src"), col("dst"))
       .join(nbr, "src")

@@ -189,6 +189,30 @@ class AsOfPlanSpec extends AnyFunSuite {
     assert(near.contains((1L, 5L, null))) // nearest is q1-10 at distance 5 > 4
   }
 
+  test("a directly-constructed logical node still fails at planning with named errors") {
+    import graft.plans.AsOfJoin
+    import org.apache.spark.sql.graftbridge.Bridge
+    import spark.implicits._
+    def chainMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val lp = Bridge.analyzed(Seq((1L, 1L)).toDF("k", "t"))
+    val rp = Bridge.analyzed(Seq((1L, 2L, "q")).toDF("k2", "t2", "v"))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    // bypass AsOf.join's API checks (the path a future SQL surface would
+    // take): the exec node's own requires must fire at PLANNING, not as
+    // an unorderable-runtime-values crash mid-task
+    val bad = AsOfJoin(lp, rp, attr(lp, "k"), attr(rp, "k2"),
+      attr(lp, "t"), attr(rp, "t2"), direction = "sideways")
+    val e = intercept[Throwable] { Bridge.ofRows(spark, bad).collect() }
+    assert(chainMsgs(e).contains("direction must be"), chainMsgs(e))
+    val badTol = AsOfJoin(lp, rp, attr(lp, "k"), attr(rp, "k2"),
+      attr(lp, "t"), attr(rp, "t2"), tolerance = Some(-1.0))
+    val e2 = intercept[Throwable] { Bridge.ofRows(spark, badTol).collect() }
+    assert(chainMsgs(e2).contains("tolerance must be"), chainMsgs(e2))
+  }
+
   test("nearest rejects string time columns; unknown direction rejected") {
     import spark.implicits._
     val l = Seq((1L, "a")).toDF("k", "t")

@@ -370,6 +370,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n == 2L, s"replays must not fold in twice, got n=$n")
   }
 
+  test("a batchId below the committed marker fails loudly (checkpoint reset under a kept view)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reset").toString
+    val path = s"$dir/view"
+    def commit(id: Long): Unit =
+      EventStreams.swapSnapshot(spark, path, Some(id)) {
+        case Some(v) => v
+        case None => Seq(1L).toDF("n")
+      }
+    commit(5L)
+    // wiping the checkpoint restarts batch ids at 0 while the view
+    // parquet persists — silently skipping would drop every early
+    // batch, so the anomaly must be a named failure
+    val e = intercept[IllegalArgumentException] { commit(3L) }
+    assert(e.getMessage.contains("reset"), e.getMessage)
+    commit(5L) // a replay of the marker itself stays a silent skip
+    assert(spark.read.parquet(path).head().getLong(0) == 1L)
+  }
+
   test("snapshot commit recovers a crash between delete and rename") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -91,4 +91,31 @@ class KllSpec extends AnyFunSuite {
     assert(rows("a").contains(1.0) || rows("a").contains(3.0))
     assert(rows("b").isEmpty)
   }
+
+  private def chainMsgs(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("out-of-range ranks and non-KLL blobs fail with named errors, not raw executor internals") {
+    import spark.implicits._
+    val sk = Seq(1.0, 2.0, 3.0).toDF("v").agg(kll_agg(col("v")).as("sk"))
+    for (bad <- Seq(1.5, -0.1, Double.NaN)) {
+      val e = intercept[Throwable] {
+        sk.select(kll_quantile(col("sk"), lit(bad))).collect()
+      }
+      assert(chainMsgs(e).contains("kll_quantile: normalized rank"),
+        s"rank $bad: ${chainMsgs(e)}")
+    }
+    // a BINARY column that is not a KLL sketch: named error citing the
+    // calling function, not a SketchesArgumentException stack
+    val junk = Seq(Array[Byte](7, 7, 7, 7)).toDF("sk")
+    val e = intercept[Throwable] {
+      junk.select(kll_quantile(col("sk"), lit(0.5))).collect()
+    }
+    assert(chainMsgs(e).contains("not a valid KLL"), chainMsgs(e))
+    val e2 = intercept[Throwable] {
+      junk.select(kll_rank(col("sk"), lit(1.0))).collect()
+    }
+    assert(chainMsgs(e2).contains("kll_rank"), chainMsgs(e2))
+  }
 }

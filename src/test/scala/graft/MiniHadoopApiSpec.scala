@@ -83,6 +83,78 @@ class MiniHadoopApiSpec extends AnyFunSuite {
     } finally api.close()
   }
 
+  test("a FATAL thunk error marks the job failed and the runner keeps draining") {
+    val api = new MiniHadoopApi(spark)
+    try {
+      val id = api.submitRaw("fatal")(() =>
+        throw new OutOfMemoryError("synthetic")).toOption.get
+      val info = api.awaitJob(id).toOption.get
+      // not stuck on 'running': the Throwable catch records the failure
+      // before rethrowing the fatal to the (surviving) run loop
+      assert(info.status == "failed", info)
+      assert(info.error.exists(_.contains("OutOfMemoryError")), info.error)
+      val ok = api.submitRaw("after")(() =>
+        graft.core.JobResult("j", "t", sorted = false, entries = 1)).toOption.get
+      assert(api.awaitJob(ok).toOption.get.status == "completed",
+        "runner thread died on the fatal — queue no longer drains")
+    } finally api.close()
+  }
+
+  test("concurrent submitters cannot overfill the bounded queue") {
+    import scala.jdk.CollectionConverters._
+    val api = new MiniHadoopApi(spark, maxConcurrentJobs = 1, maxQueueSize = 3)
+    try {
+      ApiGate.latch = new CountDownLatch(1)
+      api.submitRaw("gate")(() => {
+        ApiGate.latch.await()
+        graft.core.JobResult("j", "t", sorted = false, entries = 0)
+      })
+      // wait for the runner to take the gate job off the queue
+      val deadline = System.currentTimeMillis() + 5000
+      while (api.listRunningJobs.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, String]]()
+      val threads = (1 to 16).map(i => new Thread(() => {
+        results.add(api.submitRaw(s"c$i")(() =>
+          graft.core.JobResult("j", "t", sorted = false, entries = 0)))
+        ()
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val rs = results.asScala.toSeq
+      val accepted = rs.count(_.isRight)
+      assert(rs.count(_ == Left("queue_full")) == 16 - accepted)
+      // reference bound: reject once pending EXCEEDS maxQueueSize —
+      // the deque's capacity (maxQueueSize + 1) enforces it atomically
+      assert(accepted <= 4, s"queue overfilled: $accepted accepted")
+      assert(api.listPendingJobs.size <= 4)
+      ApiGate.latch.countDown()
+      rs.collect { case Right(id) => id }.foreach { id =>
+        assert(api.awaitJob(id).toOption.get.status == "completed") }
+    } finally api.close()
+  }
+
+  test("terminal jobs keep a progress snapshot while listener bookkeeping drains") {
+    import spark.implicits._
+    val api = new MiniHadoopApi(spark)
+    try {
+      val out = Files.createTempDirectory("graft-api-prune").toString
+      val lines = Seq("alpha beta", "alpha gamma").toDS()
+      val id = api.submitJob(WordCount.spec(Some(SortOpt.Default)), lines, out)
+        .toOption.get
+      val info = api.awaitJob(id).toOption.get
+      assert(info.status == "completed")
+      // the snapshot folded in at the terminal transition still serves
+      assert(info.progress.contains("map"))
+      val again = api.jobInfo(id).toOption.get
+      assert(again.progress == info.progress)
+      // …while the per-(job, phase) counters and stage entries are gone:
+      // a long-lived facade must not leak bookkeeping per job forever
+      Thread.sleep(300) // let any in-flight listener events settle
+      assert(api.listenerEntryCount == 0,
+        s"${api.listenerEntryCount} listener entries leaked")
+    } finally api.close()
+  }
+
   test("a crashing mapper fails the job and surfaces in info + metrics") {
     import spark.implicits._
     val api = new MiniHadoopApi(spark)
