@@ -280,13 +280,18 @@ object DedupOps {
     * and keep exactly the pairs with true Jaccard ≥ threshold. The doc
     * sides are small relative to the pair set (one row per doc) and
     * broadcast when they fit; the per-pair cost is a primitive merge. */
-  // NOT the budgeted early-exit kernel, on purpose: d02/d07 prefix and
-  // band candidates are mostly TRUE pairs (the filters upstream are
-  // tight), so nearly every merge runs to completion anyway and the
-  // budget bookkeeping only adds cost — measured d07 4.4 → 5.3 s /
-  // d02 7.1 → 9.0 s on the budgeted variant, so the plain fused merge
-  // stays. The budgeted kernel pays where candidates are mostly false
-  // (d09: 52 → 42 s, d04: 43 → 19 s).
+  // BUDGETED early-exit merge since the PPJoin positional filter landed:
+  // the filter inverted the candidate mix. Pre-filter, prefix/band
+  // candidates were mostly TRUE pairs and the budget bookkeeping only
+  // added cost (measured then: d07 4.4 → 5.3 s, d02 7.1 → 9.0 s, so the
+  // plain fused merge stayed); post-filter the survivors are ~80% FALSE
+  // near-misses (638M candidates vs ~120M true pairs at sf10) that the
+  // budget kills after ~(1−t)·|A| merge steps instead of a full
+  // |A|+|B| walk. Soundness: Jaccard ≥ t needs |A∩B| ≥ I_min =
+  // ⌈t/(1+t)·(|A|+|B|)⌉, so at most |A| − I_min of A's elements may
+  // miss B — one more miss proves J < t, and a non-(−1) return is the
+  // EXACT intersection, so the surviving pairs' jac is bit-identical
+  // to the unbudgeted division.
   /** Test/measurement override for [[exactVerify]]'s broadcast decision
     * (spec pins the forced shuffle-hash plan; the sf1.0 forced-run ledger
     * row uses the `SPARK_GRAFT_VERIFY_BC=false` env form). */
@@ -321,7 +326,14 @@ object DedupOps {
     val hb0 = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     if (bc) {
       cand.join(broadcast(ha0), "doc_a").join(broadcast(hb0), "doc_b")
-        .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
+        .withColumn("imin", ceil(lit(threshold / (1 + threshold)) *
+          (size(col("ha")) + size(col("hb"))) - 1e-9).cast("int"))
+        .withColumn("icnt", graft.functions.VectorFunctions
+          .sorted_long_intersect_within(col("ha"), col("hb"),
+            size(col("ha")) - col("imin")))
+        .filter(col("icnt") >= 0)
+        .withColumn("jac", col("icnt").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("icnt")))
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jac"))
     } else {
@@ -338,7 +350,14 @@ object DedupOps {
       // cluster the same plan scales with aggregate shuffle bandwidth.
       cand.join(ha0.hint("SHUFFLE_HASH"), "doc_a")
         .join(hb0.hint("SHUFFLE_HASH"), "doc_b")
-        .withColumn("jac", sorted_long_jaccard(col("ha"), col("hb")))
+        .withColumn("imin", ceil(lit(threshold / (1 + threshold)) *
+          (size(col("ha")) + size(col("hb"))) - 1e-9).cast("int"))
+        .withColumn("icnt", graft.functions.VectorFunctions
+          .sorted_long_intersect_within(col("ha"), col("hb"),
+            size(col("ha")) - col("imin")))
+        .filter(col("icnt") >= 0)
+        .withColumn("jac", col("icnt").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("icnt")))
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }
