@@ -165,19 +165,29 @@ object GraphOps {
     val nbr0 = o.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns")).materialize
     // Byte-derived broadcast guard, not a row-count proxy: the oriented
-    // neighborhood table holds m longs plus per-vertex array overhead,
-    // and the deserialized broadcast lives on the DRIVER first — so the
-    // cap is the lower of a fixed budget and an eighth of the actual
-    // driver heap (a session launched without run.sh's 48g default must
-    // not be pushed over by a guard tuned for it). ~16 B/symmetric edge
-    // ≈ 8 B oriented long + amortized row/array headers.
+    // neighborhood table holds exactly m longs (Σ|N⁺| = one canonical
+    // edge each) plus PER-VERTEX row/array headers — overhead scales
+    // with vertices, not edges, so estimating it per-edge (the r9 ×16
+    // guard) over-counts ~3× on dense graphs and pushed the sf10 0.9
+    // graph (240M sym rows but only ~1.2 GB real payload) onto the
+    // shuffle fallback, whose SMJ sort-spill is what filled the disk.
+    // The deserialized broadcast lives on the DRIVER first, so the cap
+    // is the lower of a fixed budget and an eighth of the actual heap
+    // (a session launched without run.sh's 48g default must not be
+    // pushed over by a guard tuned for it).
     val bcBudget = math.min(bcMaxAdjBytes, Runtime.getRuntime.maxMemory / 8)
-    val bc = broadcastNbr.getOrElse(adj.count() * 16L <= bcBudget)
-    val nbr = if (bc) broadcast(nbr0) else nbr0
+    val estBytes = adj.count() / 2 * 8L + nbr0.count() * 48L
+    val bc = broadcastNbr.getOrElse(estBytes <= bcBudget)
+    // Fallback attaches are SHUFFLE_HASH, not SMJ: the per-vertex array
+    // side builds a hash map and the oriented edge frame streams — no
+    // external sort of the array-laden join output (the spill that
+    // dominated the non-broadcast path).
+    val nbr = if (bc) broadcast(nbr0) else nbr0.hint("SHUFFLE_HASH")
     o.select(col("src"), col("dst"))
       .join(nbr, "src")
       .select(col("dst").as("vv"), col("ns").as("ns_u"))
-      .join(nbr.toDF("vv", "ns_v"), "vv")
+      .join(if (bc) nbr.toDF("vv", "ns_v")
+            else nbr0.toDF("vv", "ns_v").hint("SHUFFLE_HASH"), "vv")
       .select(graft.functions.VectorFunctions.sorted_long_intersect_within(
         col("ns_u"), col("ns_v"), size(col("ns_u"))).cast("long").as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
