@@ -385,39 +385,54 @@ object GraphOps {
     * oracle can replay it round for round. A node's own label does not
     * vote (pure neighbor majority).
     *
-    * Scale shape per round: one edge⋈label equi-join shuffled by node,
-    * one (node, label) partial count, and a per-node argmax that
-    * compiles to WindowGroupLimit — everything keyed by node, lineage
-    * cut per round (the d06/g02 discipline). */
+    * Scale shape per round: one edge⋈label equi-join that never moves
+    * the edge frame (src-partitioned adjacency on both paths), one
+    * (node, label) partial count, and a per-node argmax as a second
+    * hash aggregation — `min(struct(−cnt, label))` is lexicographically
+    * the (most votes, smallest label) winner, so the argmax gets
+    * map-side partials instead of a window's full (node, label) sort.
+    * Everything keyed by node, lineage cut per round (the d06/g02
+    * discipline). */
   def labelPropagation(edges: DataFrame, iterations: Int,
       symAdj: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // eager: sym feeds the label init AND every round's join — lazy
     // checkpoints are raced by parallel stages (the d02/g01 lesson).
     // A provided symAdj is a bucketed storage scan (its own
-    // materialization — a checkpoint would erase the bucketing).
+    // materialization — a checkpoint would erase the bucketing). The
+    // fallback repartitions by src BEFORE materializing: localCheckpoint
+    // preserves outputPartitioning, so every round's join re-shuffles
+    // only the label frame (n rows), never the 2m-row adjacency. The
+    // partition count is pinned WIDE (8× parallelism, not the 32-way
+    // AQE-coalesced width): the checkpoint caches rows DESERIALIZED, so
+    // a 64MB-serialized-target partition is ~6× that on-heap and N
+    // concurrent cache-builds of fat partitions OOM-race the unroll
+    // accounting (measured: 160M-row sym at 32 partitions OOMed a 48g
+    // heap; at 8× parallelism the same frame caches in bounded slices).
     val sym = symAdj.getOrElse {
+      val spark = edges.sparkSession
+      val parts = spark.sparkContext.defaultParallelism * 8
       val e = canonical(edges)
       e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(parts, col("src"))
         .materialize
     }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to iterations) {
-      // votes keyed on `src` (the adjacency's bucket key), voting each
-      // edge's src label onto its dst: over a SYMMETRIC edge frame this
-      // is the same multiset of (node, label) votes as the textbook
+      // votes keyed on `src` (the adjacency's partition key), voting
+      // each edge's src label onto its dst: over a SYMMETRIC edge frame
+      // this is the same multiset of (node, label) votes as the textbook
       // "label of dst grouped by src" formulation — every undirected
       // edge appears in both orientations — but it keeps the join
-      // exchange-free on a src-bucketed adjacency.
+      // exchange-free on the src-partitioned adjacency.
       labels = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "label")
+        .groupBy("node")
+        .agg(min(struct((col("cnt") * -1).as("neg_cnt"),
+          col("label"))).as("win"))
+        .select(col("node"), col("win.label").as("label"))
         .materialize
     }
     labels
