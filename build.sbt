@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 GCLocker starvation: executors hold JNI critical sections
+  // (lz4/snappy/unsafe copies) while other tasks allocate; the default
+  // retry budget (2) turns a transient lock into a spurious
+  // "OutOfMemoryError: Java heap space" on tiny allocations ("allocating
+  // 4 words") under 32 concurrent cache-builds. Raise the retry budget —
+  // JDK 21+ removes the GCLocker entirely (JDK-8308341).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
