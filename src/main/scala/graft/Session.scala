@@ -46,6 +46,16 @@ object Session {
       // (DedupOps.exactVerify): at sf10 that is ~600 MB serialized, over
       // the 1g default that caps driver-side broadcast collection
       .config("spark.driver.maxResultSize", "4g")
+      // Iterative operators (CC/LPA/k-core/PageRank) re-materialize their
+      // frame each round; the previous round's checkpoint blocks and
+      // shuffle files become garbage the moment the var is reassigned,
+      // but the ContextCleaner only notices after a DRIVER GC — which a
+      // large-heap driver may not run for the whole job. The default
+      // periodic-GC interval (30min) let a 3-round peel over 800M edges
+      // accumulate >200 GB of dead shuffle files on one box; 2min caps
+      // disk at roughly one round's working set at negligible GC cost.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
