@@ -25,17 +25,29 @@ import org.apache.spark.sql.functions._
   * [[GraphOps.kCorePeel]] (k=3, 3 rounds, the g05 shape) and prints one
   * JSON ledger line per operator.
   *
-  * Usage: tools/run.sh graft.tools.GraphScaleBench <nodes> [lpa|kcore|both]
+  * Mode `lpab` is the ≥10⁹-edge STORAGE path: the in-memory fallback
+  * adjacency (a deserialized checkpoint of 2m rows) plus round-1's two
+  * edge-cardinality agg shuffles is a ~225 GB live set at 1.6B
+  * symmetric rows — past one box's disk. The production shape for that
+  * regime is g04's: the symmetric adjacency written ONCE as a
+  * src-bucketed sorted table (~10 B/row on disk), every round's vote
+  * join exchange-free against the scan. `lpab` writes that table
+  * (build charged separately) and times the same 2 LPA rounds over it;
+  * edges stage to scratch parquet instead of a heap checkpoint for the
+  * same reason.
+  *
+  * Usage: tools/run.sh graft.tools.GraphScaleBench <nodes> [lpa|lpab|kcore|both]
   */
 object GraphScaleBench {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GraphScaleBench <nodes> [lpa|kcore|both]")
+    require(args.nonEmpty,
+      "usage: GraphScaleBench <nodes> [lpa|lpab|kcore|both]")
     val n = args(0).toLong
     val which = if (args.length > 1) args(1) else "both"
     val spark = Session.get("graft-graphscale")
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges = spark.range(n)
+    val gen = spark.range(n)
       .select(col("id").as("src"),
         explode(expr(
           s"transform(sequence(1, 1 + cast(pmod(xxhash64(id), 15) as int)), " +
@@ -45,7 +57,13 @@ object GraphScaleBench {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-      .materialize
+    val edges =
+      if (which == "lpab") {
+        // storage-path staging: parquet scratch, not a heap checkpoint
+        val p = graft.core.Materialize.freshScratchPath(spark, "graphscale-edges")
+        gen.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      } else gen.materialize
     val m = edges.count()
 
     def timed(name: String)(body: => Long): Unit = {
@@ -57,6 +75,30 @@ object GraphScaleBench {
 
     if (which == "lpa" || which == "both")
       timed("lpa2")(GraphOps.labelPropagation(edges, iterations = 2).count())
+    if (which == "lpab") {
+      // bucketed sorted adjacency, the sharedAdjacency write shape
+      // (DedupOps.scala): whole buckets per task, one file per bucket
+      val name = s"graphscale_adj_$n"
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val nBuckets = math.min(4096L, math.max(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        2 * m / 50000L)).toInt
+      val tb0 = System.nanoTime()
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(nBuckets, col("src"))
+        .write.mode("overwrite").bucketBy(nBuckets, "src").sortBy("src")
+        .saveAsTable(name)
+      println(f"""{"metric":"graphscale_adj_build","nodes":$n,"edges":$m,"buckets":$nBuckets,"total_sec":${(System.nanoTime() - tb0) / 1e9}%.2f}""")
+      timed("lpa2_bucketed")(GraphOps.labelPropagation(edges, iterations = 2,
+        symAdj = Some(spark.table(name))).count())
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    }
     if (which == "kcore" || which == "both")
       timed("kcore3")(GraphOps.kCorePeel(edges, k = 3, rounds = 3).count())
     spark.stop()
