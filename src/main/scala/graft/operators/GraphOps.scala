@@ -417,9 +417,25 @@ object GraphOps {
         .repartition(parts, col("src"))
         .materialize
     }
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to iterations) {
+    // Round 1 in closed form: labels initialize to node ids, so every
+    // neighbor label is UNIQUE — every vote count is 1 and the
+    // (most-votes, smallest-label) winner degenerates to the minimum
+    // neighbor id. That matters at scale because the general round's
+    // (node, label) count CANNOT map-side combine when labels are all
+    // distinct: round 1 of the general path shuffles the full vote
+    // multiset (2m rows, ~96 GB at 1.6B symmetric edges — past one
+    // box's disk), while min(src) combines to node cardinality inside
+    // the scan. Later rounds combine fine on their own: labels have
+    // converged onto few values, so the same groupBy shrinks map-side.
+    var labels =
+      if (iterations >= 1)
+        sym.groupBy(col("dst").as("node"))
+          .agg(min(col("src")).as("label"))
+          .materialize
+      else
+        sym.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+    for (_ <- 2 to iterations) {
       // votes keyed on `src` (the adjacency's partition key), voting
       // each edge's src label onto its dst: over a SYMMETRIC edge frame
       // this is the same multiset of (node, label) votes as the textbook
