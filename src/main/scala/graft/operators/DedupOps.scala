@@ -1165,6 +1165,12 @@ object DedupOps {
     // ORDER itself, not merely the smallest hash — the token the PPJoin
     // position bound is stated on.
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      // materialize BEFORE the sort: the range exchange's sampling pass
+      // re-executes its child, and the child here is the corpus-scale
+      // explode+aggregate (the sampling-pass rule that already guards
+      // d16's final sort); checkpointed, the sample reads vocab-sized
+      // blocks instead of re-running the df aggregate
+      .materializeAs("dfreq")
       .orderBy("df", "h")
       .withColumn("r", monotonically_increasing_id())
       .materialize
