@@ -27,12 +27,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ {
   // JDK 17 G1 GCLocker starvation: executors hold JNI critical sections
   // (lz4/snappy/unsafe copies) while other tasks allocate; the default
   // retry budget (2) turns a transient lock into a spurious
   // "OutOfMemoryError: Java heap space" on tiny allocations ("allocating
   // 4 words") under 32 concurrent cache-builds. Raise the retry budget —
-  // JDK 21+ removes the GCLocker entirely (JDK-8308341).
-  "-XX:+UnlockDiagnosticVMOptions",
-  "-XX:GCLockerRetryAllocationCount=64",
-)
+  // but only where the flag exists: JDK 22+ removes the GCLocker
+  // entirely (JDK-8308341) and an unrecognized diagnostic flag aborts
+  // JVM startup, so gate on the running JVM's major version.
+  val javaMajor = scala.util.Try(
+    sys.props.getOrElse("java.specification.version", "17")
+      .split('.').head.toInt).getOrElse(17)
+  if (javaMajor <= 21)
+    Seq("-XX:+UnlockDiagnosticVMOptions",
+      "-XX:GCLockerRetryAllocationCount=64")
+  else Seq.empty
+}

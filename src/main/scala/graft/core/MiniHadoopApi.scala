@@ -39,7 +39,12 @@ final case class SystemStatus(
     activeWorkers: Int,
     totalJobsSubmitted: Long,
     totalJobsCompleted: Long,
-    totalJobsFailed: Long)
+    totalJobsFailed: Long,
+    // first VirtualMachineError that escaped a job thunk, if any: the
+    // pool keeps draining (a dead runner strands the queue), but the
+    // heap may be corrupted — callers deciding whether to trust further
+    // results read this instead of a healthy-looking counter row
+    poisoned: Option[String] = None)
 
 /** User-facing job lifecycle facade — the reference's service entry point
   * (`lib/mini_hadoop.ex:18-20,81-83`, `master/compute_operation.ex:69-96`)
@@ -94,6 +99,8 @@ final class MiniHadoopApi(
   private val submitted = new AtomicLong()
   private val completed = new AtomicLong()
   private val failed = new AtomicLong()
+  private val poisonedFlag =
+    new java.util.concurrent.atomic.AtomicReference[String]()
   @volatile private var closed = false
 
   // ---- progress listener (job-group-scoped stage → phase counters) ----
@@ -104,11 +111,21 @@ final class MiniHadoopApi(
       k: (String, String)): AtomicLong =
     m.computeIfAbsent(k, _ => new AtomicLong())
 
+  /** A job whose terminal prune has NOT happened yet (finishJob sets the
+    * terminal status before pruning, so live-here implies any later
+    * prune also covers entries inserted now). */
+  private def isLive(jobId: String): Boolean =
+    Option(infos.get(jobId))
+      .exists(i => i.status == "pending" || i.status == "running")
+
   private val listener = new SparkListener {
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val gid = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-      gid.filter(infos.containsKey).foreach { jid =>
+      // gate on NON-TERMINAL status, not mere presence: the listener bus
+      // is async, so an onJobStart delivered after finishJob's terminal
+      // prune would re-create counters that then leak forever
+      gid.filter(isLive).foreach { jid =>
         e.stageInfos.foreach { si =>
           val phase = if (si.parentIds.isEmpty) "map" else "reduce"
           // a stage can appear in several Spark jobs of one graft job
@@ -116,6 +133,11 @@ final class MiniHadoopApi(
           if (stagePhase.putIfAbsent(si.stageId, (jid, phase)) == null)
             ctr(phaseTotal, (jid, phase)).addAndGet(si.numTasks.toLong)
         }
+        // close the insert/prune race: if finishJob ran between the
+        // liveness read above and the inserts, its prune may have missed
+        // them — re-check and re-prune (idempotent) so a terminal job
+        // can never end up with resurrected entries
+        if (!isLive(jid)) pruneListener(jid)
       }
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
@@ -161,10 +183,19 @@ final class MiniHadoopApi(
         // must not silently kill the runner: runJob has already recorded
         // the job as failed before rethrowing, so log and keep draining —
         // a dead runner with maxConcurrentJobs=1 would strand every
-        // queued job in `pending` forever.
+        // queued job in `pending` forever. A VirtualMachineError may
+        // leave the heap/JVM corrupted though, so it additionally sets
+        // the poisoned flag surfaced via systemStatus: the facade stays
+        // up, but callers can see the degraded state instead of a
+        // healthy-looking counter row.
         case t: Throwable =>
           System.err.println(
             s"[minihadoop-runner] fatal error escaped a job: $t")
+          t match {
+            case vm: VirtualMachineError => poisonedFlag.compareAndSet(
+              null, s"${vm.getClass.getSimpleName}: ${vm.getMessage}")
+            case _ =>
+          }
       }
     }
 
@@ -210,6 +241,12 @@ final class MiniHadoopApi(
   private def finishJob(jobId: String)(f: JobInfo => JobInfo): Unit = {
     val snap = progressOf(jobId)
     update(jobId)(i => f(i).copy(progress = snap))
+    pruneListener(jobId)
+  }
+
+  /** Drop a job's listener counters (idempotent — also re-run from
+    * onJobStart when a late event raced the terminal prune). */
+  private def pruneListener(jobId: String): Unit = {
     Seq("map", "reduce").foreach { phase =>
       phaseTotal.remove((jobId, phase))
       phaseDone.remove((jobId, phase))
@@ -228,22 +265,35 @@ final class MiniHadoopApi(
       implicit kvEnc: Encoder[(K, V)]): Either[String, String] =
     enqueue(spec.name, () => MiniJob.runOn(spark, spec, lines, outputDir))
 
+  private val submitLock = new Object
+
   private def enqueue(name: String,
       thunk: () => JobResult): Either[String, String] = {
     if (closed) return Left("shutdown")
     val jobId = f"job_${seq.incrementAndGet()}%04d_$name"
-    // record the info BEFORE the enqueue (a runner may poll the job the
-    // instant it lands), but let the deque's own capacity enforce the
-    // bound — offer() is atomic where a size check-then-put is not
-    infos.put(jobId, JobInfo(jobId, name, "pending",
-      System.currentTimeMillis(), None, None, None, Map.empty, None, None))
-    pendingIds.put(jobId, java.lang.Boolean.TRUE)
-    if (!pending.offer(Queued(jobId, thunk))) {
-      pendingIds.remove(jobId)
-      infos.remove(jobId)
-      return Left("queue_full")
+    // Serialize submitters (the reference's GenServer does the same
+    // implicitly): under the lock, bound-check → publish → offer is one
+    // atomic step, so a REJECTED submit is never transiently visible as
+    // a phantom pending job via jobInfo/listPendingJobs — infos and
+    // pendingIds publish only when the job is certain to land — while
+    // the publish still precedes the offer, so a runner that polls the
+    // job the instant it hits the deque finds its info. Runners only
+    // poll (shrink the queue), so the bound cannot overfill between the
+    // check and the offer; the deque's own capacity stays as a backstop.
+    submitLock.synchronized {
+      // reference semantics: reject only when the pending count already
+      // EXCEEDS the cap (`compute_operation.ex:113`)
+      if (pending.size > maxQueueSize) return Left("queue_full")
+      infos.put(jobId, JobInfo(jobId, name, "pending",
+        System.currentTimeMillis(), None, None, None, Map.empty, None, None))
+      pendingIds.put(jobId, java.lang.Boolean.TRUE)
+      if (!pending.offer(Queued(jobId, thunk))) { // unreachable given the
+        pendingIds.remove(jobId)                  // bound check; backstop
+        infos.remove(jobId)
+        return Left("queue_full")
+      }
+      submitted.incrementAndGet()
     }
-    submitted.incrementAndGet()
     Right(jobId)
   }
 
@@ -303,7 +353,8 @@ final class MiniHadoopApi(
   def systemStatus: SystemStatus =
     SystemStatus(runningIds.size, pending.size, maxConcurrentJobs,
       spark.sparkContext.defaultParallelism,
-      submitted.get(), completed.get(), failed.get())
+      submitted.get(), completed.get(), failed.get(),
+      Option(poisonedFlag.get()))
 
   /** Stop the runner pool and detach the listener. Queued-but-unstarted
     * jobs stay `pending` forever after close — callers drain first. */

@@ -315,13 +315,26 @@ object DedupOps {
     // and cap at the lower of a fixed budget and a fraction of the
     // live driver heap (TWO copies broadcast: the doc_a and doc_b
     // aliases).
-    val st = sets.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(col("hs"))), lit(0L)).as("e")).head()
-    val estBytes = st.getLong(0) * 48L + st.getLong(1) * 8L
-    val bc = verifyBcOverride
-      .orElse(sys.env.get("SPARK_GRAFT_VERIFY_BC").map(_.toBoolean))
-      .getOrElse(
-        estBytes <= math.min(1500000000L, Runtime.getRuntime.maxMemory / 10))
+    // Resolve the override/env decision FIRST: the count+sum estimation
+    // is itself a Spark job over the sets frame, and a forced run
+    // (verifyBcOverride or SPARK_GRAFT_VERIFY_BC) must not pay that
+    // wasted pass. Env parse is defensive — a malformed value names the
+    // variable instead of surfacing a bare toBoolean exception.
+    val forced = verifyBcOverride.orElse(
+      sys.env.get("SPARK_GRAFT_VERIFY_BC").map { v =>
+        v.trim.toLowerCase match {
+          case "true" | "1" => true
+          case "false" | "0" => false
+          case other => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_VERIFY_BC must be true/false, got '$other'")
+        }
+      })
+    val bc = forced.getOrElse {
+      val st = sets.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("hs"))), lit(0L)).as("e")).head()
+      val estBytes = st.getLong(0) * 48L + st.getLong(1) * 8L
+      estBytes <= math.min(1500000000L, Runtime.getRuntime.maxMemory / 10)
+    }
     val ha0 = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
     val hb0 = sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))
     if (bc) {
