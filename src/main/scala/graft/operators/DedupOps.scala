@@ -361,16 +361,46 @@ object DedupOps {
       // attached frame once by doc_b (the one array-laden exchange),
       // and the sets side builds a per-partition hash map. On a real
       // cluster the same plan scales with aggregate shuffle bandwidth.
-      cand.join(ha0.hint("SHUFFLE_HASH"), "doc_a")
-        .join(hb0.hint("SHUFFLE_HASH"), "doc_b")
+      //
+      // The exchange's per-pair CONSTANT is the attackable term (r10
+      // verdict): raw 64-bit hashes are incompressible (uniform ~2^57
+      // gaps), so re-encode each doc's set as delta-varints over a
+      // DENSE corpus-vocabulary rank — a bijection, so |A∩B|, the
+      // budget semantics and the resulting jaccard are bit-identical —
+      // and ship ~3× fewer bytes per attached set at ANY cluster size
+      // (unlike per-partition dedup tricks, which only pay off when
+      // pairs-per-doc exceeds the partition count). The dense rank is
+      // assigned by sorted zipWithIndex (range-partitioned numbering —
+      // no single-partition window), one vocabulary-linear detour that
+      // is noise next to the pair-linear exchange it shrinks.
+      val sq = sets.sparkSession
+      import sq.implicits._
+      val dict = sets.select(explode(col("hs")).as("h")).distinct()
+        .as[Long].rdd.sortBy(identity).zipWithIndex()
+        .toDF("h", "r")
+      val enc = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(dict, "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions
+            .varint_delta_encode(col("rs")).as("e"),
+          size(col("rs")).as("n"))
+        .materialize
+      val ea = enc.select(col("doc_id").as("doc_a"), col("e").as("ea"),
+        col("n").as("na"))
+      val eb = enc.select(col("doc_id").as("doc_b"), col("e").as("eb"),
+        col("n").as("nb"))
+      cand.join(ea.hint("SHUFFLE_HASH"), "doc_a")
+        .join(eb.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("imin", ceil(lit(threshold / (1 + threshold)) *
-          (size(col("ha")) + size(col("hb"))) - 1e-9).cast("int"))
+          (col("na") + col("nb")) - 1e-9).cast("int"))
         .withColumn("icnt", graft.functions.VectorFunctions
-          .sorted_long_intersect_within(col("ha"), col("hb"),
-            size(col("ha")) - col("imin")))
+          .varint_intersect_within(col("ea"), col("eb"),
+            col("na") - col("imin")))
         .filter(col("icnt") >= 0)
         .withColumn("jac", col("icnt").cast("double") /
-          (size(col("ha")) + size(col("hb")) - col("icnt")))
+          (col("na") + col("nb") - col("icnt")))
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }

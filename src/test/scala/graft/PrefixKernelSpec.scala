@@ -134,6 +134,11 @@ class PrefixKernelSpec extends AnyFunSuite {
         .filter(b => b.matches("(?s)\\(\\d+\\) SortMergeJoin.*"))
       assert(!smjBlocks.exists(b => b.contains("doc_a") || b.contains("doc_b")),
         smjBlocks.mkString("\n---\n"))
+      // … and the attach must ship the rank-encoded BINARY sets, not raw
+      // long arrays: the varint merge in the plan is the pin that the
+      // pair-linear exchange runs at the compact per-pair constant
+      // (r11 — 2.3× → 1.17× vs broadcast at sf1.0)
+      assert(plan.contains("varint_intersect_within"), plan)
       val forced = df
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("j"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
