@@ -3,12 +3,38 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The scale-diverse oracle board (r10 verdict ask #5): every catalog
+    * query whose DuckDB oracle is LINEAR in the input — the q (TPC-H
+    * relational), e (events), t (text) and v (validation) families — is
+    * also run at sf0.1, catching scale-dependent divergence the sf0.01
+    * board cannot (first catch: e17/e22's HLL merge bit-equality gates,
+    * which only break past the list→HLL promotion boundary). EXCLUDED,
+    * with reasons: the d (dedup) and g (graph) families — their oracles
+    * replay the full QUADRATIC exact pair space in DuckDB (d02's oracle
+    * alone is a 600k-doc self-join at sf0.1); s01–s12 — s01/s02's oracle
+    * is the brute-force all-pairs scan and the rest replay the same IVF
+    * algorithm at quadratic oracle cost; p01/p02 — they compose the
+    * dedup kernels (same quadratic oracle); m01–m07 — deterministic
+    * codec stubs whose outputs are scale-invariant by construction;
+    * mr01–mr03 — fixed mini-corpus inputs, no sf dependence. Run it at
+    * round close via `graft.Verify <sf0.1Dir> <out> @sf01-linear` +
+    * `tools/check.py`. */
+  def sf01LinearBoard: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filter(n => "qetv".contains(n.head)).sorted
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: restrict to the named queries (local iteration
-    // aid; the driver always runs the full set)
+    // aid; the driver always runs the full set). `@sf01-linear` expands
+    // to the scale-diverse linear-oracle board above.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args.drop(2).toSet) else None
+      if (args.length > 2)
+        Some(args.drop(2).flatMap {
+          case "@sf01-linear" => sf01LinearBoard
+          case n => Seq(n)
+        }.toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Session.builder("graft-verify")
       .master(s"local[$cpus]")

@@ -760,16 +760,26 @@ object EventOps {
       val direct = base.groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
           expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"))
+      // merge gate is TOLERANCE-based, not bit-equality: a Datasketches
+      // HLL union is NOT guaranteed register-identical to the single-pass
+      // sketch — small per-day sketches live in exact list/set mode, and
+      // the promotion path to HLL mode differs between "union many small
+      // exacts" and "aggregate everything directly" (observed at sf0.1,
+      // where daily cardinalities cross the promotion boundary; sf0.01
+      // happened to agree bit-for-bit — the r11 sf0.1 sweep's catch).
+      // The honest mergeability claim is that the unioned estimate ALSO
+      // lands within the published error envelope of the exact count.
       direct.join(merged, "event_type")
         .select(col("event_type"), col("exact_users"),
           (abs(col("est_direct") - col("exact_users")) / col("exact_users") <= 0.05)
             .as("est_ok"),
-          (col("est_merged") === col("est_direct")).as("merge_exact"))
+          (abs(col("est_merged") - col("exact_users")) / col("exact_users") <= 0.05)
+            .as("merge_ok"))
         .orderBy("event_type")
     },
     Some("""
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
-             TRUE AS est_ok, TRUE AS merge_exact
+             TRUE AS est_ok, TRUE AS merge_ok
       FROM events
       GROUP BY event_type
       ORDER BY event_type"""))
@@ -1005,13 +1015,20 @@ object EventOps {
             && col("m_hi") === col("hi")
             && abs(col("m_total") - col("total")) <= 1e-6)
             .as("arith_merge_exact"),
-          (col("m_est") === col("d_est")).as("sketch_merge_exact"))
+          // HLL union is not register-identical to the single-pass
+          // sketch across the list/set→HLL promotion boundary (see e17)
+          // — the mergeability claim for the sketch column is that both
+          // estimates agree within the HLL error envelope (lgK=12 rse
+          // ≈1.6%; 5% ≈ 3σ, load-bearing but not flaky), while the four
+          // ARITHMETIC columns stay bit-exact as before.
+          (abs(col("m_est") - col("d_est")) / col("d_est") <= 0.05)
+            .as("sketch_merge_ok"))
         .orderBy("event_type", "day")
     },
     Some("""
       SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
              round(sum(value), 6) AS total, min(value) AS lo, max(value) AS hi,
-             TRUE AS arith_merge_exact, TRUE AS sketch_merge_exact
+             TRUE AS arith_merge_exact, TRUE AS sketch_merge_ok
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2"""))

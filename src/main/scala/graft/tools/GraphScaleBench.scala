@@ -36,22 +36,54 @@ import org.apache.spark.sql.functions._
   * edges stage to scratch parquet instead of a heap checkpoint for the
   * same reason.
   *
-  * Usage: tools/run.sh graft.tools.GraphScaleBench <nodes> [lpa|lpab|kcore|both]
+  * Fixture `zipf` (third arg): a POWER-LAW graph instead of the
+  * bounded-degree one — out-stub counts are Pareto(α = 2.5, capped) and
+  * stub targets are log-uniform over the id space (`⌊n^u⌋`, density
+  * ∝ 1/x), i.e. in-degree follows Zipf(1): node j collects ≈ m/(j·ln n)
+  * edges, so the top ids are million-degree hubs at decade scale. Real
+  * dedup/web graphs are Zipfian, and a bounded-degree fixture cannot
+  * exercise the hub terms (wedge explosion at an apex, skewed join
+  * keys, per-edge intersection length) — this mode exists to measure
+  * them (r10 verdict ask #2). Same determinism contract: pure hash
+  * arithmetic in expression space, no rand(), no driver state.
+  *
+  * Mode `tri` races the two triangle paths on the same fixture —
+  * [[GraphOps.triangleCountAdjIntersect]] (the live g01 path; per-edge
+  * sorted-merge over degree-ORIENTED out-lists, bounded O(√m) even at a
+  * hub) vs [[GraphOps.triangleCountDegreeOrdered]] (the wedge-join
+  * form) — over the bucketed adjacency, and prints one ledger line per
+  * variant; the BASELINE.md dispatch decision cites these lines.
+  *
+  * Usage: tools/run.sh graft.tools.GraphScaleBench <nodes> [lpa|lpab|kcore|tri|both] [zipf]
   */
 object GraphScaleBench {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: GraphScaleBench <nodes> [lpa|lpab|kcore|both]")
+      "usage: GraphScaleBench <nodes> [lpa|lpab|kcore|tri|both] [zipf]")
     val n = args(0).toLong
     val which = if (args.length > 1) args(1) else "both"
+    val zipf = args.length > 2 && args(2) == "zipf"
     val spark = Session.get("graft-graphscale")
     spark.sparkContext.setLogLevel("WARN")
 
+    val stubs =
+      if (zipf) {
+        // Pareto out-stubs: u ∈ (0,1] from a hash; k = ⌈u^(−1/1.5)⌉
+        // (α = 2.5 → mean ≈ 3), capped at 10k so a single generator row
+        // cannot explode; log-uniform targets: dst = ⌊n^v⌋ − 1 clamped,
+        // giving the 1/x in-degree density (Zipf hubs at small ids).
+        s"""transform(
+           |  sequence(1, least(10000, cast(ceil(pow(
+           |    (cast(pmod(xxhash64(id), 1000000) as double) + 1.0) / 1000000.0,
+           |    -1.0 / 1.5)) as int))),
+           |  j -> least(${n}L - 1L, cast(floor(pow(cast(${n}L as double),
+           |    (cast(pmod(xxhash64(id * 131 + j * 7919), 1000000) as double) + 1.0)
+           |      / 1000000.0)) as bigint) - 1L))""".stripMargin
+      } else
+        s"transform(sequence(1, 1 + cast(pmod(xxhash64(id), 15) as int)), " +
+          s"j -> pmod(xxhash64(id * 131 + j * 7919), ${n}L))"
     val gen = spark.range(n)
-      .select(col("id").as("src"),
-        explode(expr(
-          s"transform(sequence(1, 1 + cast(pmod(xxhash64(id), 15) as int)), " +
-            s"j -> pmod(xxhash64(id * 131 + j * 7919), ${n}L))")).as("dst"))
+      .select(col("id").as("src"), explode(expr(stubs)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -101,6 +133,31 @@ object GraphScaleBench {
     }
     if (which == "kcore" || which == "both")
       timed("kcore3")(GraphOps.kCorePeel(edges, k = 3, rounds = 3).count())
+    if (which == "tri") {
+      // the g01 storage shape: symmetric adjacency bucketed on src
+      val name = s"graphscale_triadj_$n"
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val nBuckets = math.min(4096L, math.max(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        2 * m / 50000L)).toInt
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(nBuckets, col("src"))
+        .write.mode("overwrite").bucketBy(nBuckets, "src").sortBy("src")
+        .saveAsTable(name)
+      timed("tri_adjintersect")(GraphOps
+        .triangleCountAdjIntersect(spark.table(name))
+        .head().getLong(0))
+      timed("tri_wedgejoin")(GraphOps
+        .triangleCountDegreeOrdered(edges, adj = Some(spark.table(name)))
+        .head().getLong(0))
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    }
     spark.stop()
   }
 }
