@@ -224,8 +224,16 @@ object DedupOps {
         case (None, (cond, v)) => Some(when(cond, v))
         case (Some(acc), (cond, v)) => Some(acc.when(cond, v))
       }.get
+    // SHUFFLE_HASH, not SMJ: the self-join's equi-key is (band, bh) and
+    // group sizes are bounded by the cutoff, so per-partition build maps
+    // are small — while the SMJ alternative externally SORTS both 290 B
+    // band rows streams. StageStats at benign 5M docs attributed the
+    // whole benign-decade superlinearity to exactly that sort: write-side
+    // shuffle-sorter spill onset (0 → 11.5 GB disk) plus 17× probe CPU
+    // on exactly-10×-linear bytes. The hint removes the sort from both
+    // sides; the single reused exchange is unchanged.
     val cand = flagged.alias("x")
-      .join(flagged.alias("y"), Seq("band", "bh"))
+      .join(flagged.alias("y").hint("SHUFFLE_HASH"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         !(col("x.hot") && col("y.hot")) && col("band") === firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -31,7 +31,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     table) — bound is (types × days); the line prints snapshot rows
   *     and on-disk bytes after the final commit.
   *
-  * Usage: tools/run.sh graft.tools.StreamScaleBench [events] [chunks] [dedup|funnel|rollup|all]
+  *   - sessionWindowCounts: state = OPEN sessions (append mode evicts
+  *     a session once the watermark passes its close) — bound is
+  *     ~U in-flight structs, independent of the event count.
+  *
+  * Usage: tools/run.sh graft.tools.StreamScaleBench [events] [chunks] [dedup|funnel|rollup|sessions|all]
   */
 object StreamScaleBench {
 
@@ -120,6 +124,24 @@ object StreamScaleBench {
         .flatMap(_.stateOperators.map(_.memoryUsedBytes))
         .reduceOption(_ max _).getOrElse(0L).toDouble / users
       report("funnel", q, s, f""","users":$users,"state_bytes_per_user":$bytesPerUser%.1f""")
+    }
+    if (which == "sessions" || which == "all") {
+      // the e02 headline twin: native session_window under a 2 h
+      // watermark. State = OPEN sessions only — users whose latest
+      // session the watermark hasn't closed yet — so the bound is
+      // ~U × one in-flight session struct, independent of event count;
+      // closed sessions leave the store as append-mode results.
+      val (q, s) = timed {
+        EventStreams.sessionWindowCounts(
+            stream().select("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$base/ckpt-sessions").start()
+      }
+      val bytesPerUser = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .reduceOption(_ max _).getOrElse(0L).toDouble / users
+      report("sessions", q, s,
+        f""","users":$users,"state_bytes_per_user":$bytesPerUser%.1f""")
     }
     if (which == "rollup" || which == "all") {
       val t0 = System.nanoTime()

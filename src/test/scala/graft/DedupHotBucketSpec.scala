@@ -157,4 +157,19 @@ class DedupHotBucketSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(hot == (0L until 30L).toSet)
   }
+
+  test("band self-join is a ShuffledHashJoin, never sort-merged") {
+    // StageStats at benign 5M docs attributed the whole benign-decade
+    // superlinearity to the SMJ's external sort of the two 290 B/row
+    // band streams (probe stage 1,730 → 189 task-s once hash-joined).
+    // Node-detail paragraphs in formatted mode start "(n) NodeName";
+    // any SMJ block keying on the band hash is a fail.
+    val plan = operators.DedupOps.nearDupPairs(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val blocks = plan.split("\n\n")
+    assert(blocks.exists(b =>
+      b.matches("(?s)\\(\\d+\\) ShuffledHashJoin.*") && b.contains("bh")), plan)
+    assert(!blocks.exists(b =>
+      b.matches("(?s)\\(\\d+\\) SortMergeJoin.*") && b.contains("bh")), plan)
+  }
 }
