@@ -65,6 +65,14 @@ object GraphScaleBench {
     val zipf = args.length > 2 && args(2) == "zipf"
     val spark = Session.get("graft-graphscale")
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STAGESTATS=1: per-stage breakdown after the run (the
+    // TimeQuery hook, here to attribute fixture-shape premiums — e.g.
+    // the Zipf hub's LPA term — to a named stage, not a guess)
+    val stats = if (sys.env.contains("SPARK_GRAFT_STAGESTATS")) {
+      val l = new StageStats
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
 
     val stubs =
       if (zipf) {
@@ -99,10 +107,12 @@ object GraphScaleBench {
     val m = edges.count()
 
     def timed(name: String)(body: => Long): Unit = {
+      stats.foreach(_.reset()) // per-operator attribution, setup excluded
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"graphscale_$name","nodes":$n,"edges":$m,"rows":$rows,"total_sec":$sec%.2f,"ns_per_edge":${sec * 1e9 / m}%.1f}""")
+      stats.foreach { l => println(s"[stagestats] $name:"); l.report() }
     }
 
     if (which == "lpa" || which == "both")
