@@ -25,7 +25,9 @@ object TimeQuery {
       Some(l)
     } else None
     (0 until runs).foreach { i =>
-      if (i == runs - 1) stats.foreach(_.reset()) // keep only the warm run
+      // keep only the final run; drain the async bus first so a prior
+      // run's tail events can't survive the reset and double-count
+      if (i == runs - 1) stats.foreach { l => l.drain(spark); l.reset() }
       val t0 = System.nanoTime()
       val rows =
         if (wantCount) q.build(spark, dir).count()
@@ -36,7 +38,7 @@ object TimeQuery {
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.build(spark, dir).explain("formatted")
-    stats.foreach(_.report())
+    stats.foreach { l => l.drain(spark); l.report() }
     spark.stop()
   }
 }

@@ -224,14 +224,21 @@ object DedupOps {
         case (None, (cond, v)) => Some(when(cond, v))
         case (Some(acc), (cond, v)) => Some(acc.when(cond, v))
       }.get
-    // SHUFFLE_HASH, not SMJ: the self-join's equi-key is (band, bh) and
-    // group sizes are bounded by the cutoff, so per-partition build maps
-    // are small — while the SMJ alternative externally SORTS both 290 B
-    // band rows streams. StageStats at benign 5M docs attributed the
-    // whole benign-decade superlinearity to exactly that sort: write-side
-    // shuffle-sorter spill onset (0 → 11.5 GB disk) plus 17× probe CPU
-    // on exactly-10×-linear bytes. The hint removes the sort from both
-    // sides; the single reused exchange is unchanged.
+    // SHUFFLE_HASH, not SMJ. Memory model: the SHJ build map holds the
+    // y-side's whole shuffle PARTITION (every (band,bh) group hashed
+    // there), i.e. ~ exchangeBytes / spark.sql.shuffle.partitions per
+    // task, and a shuffled-hash build relation does NOT spill — the
+    // cutoff bounds each group, not the partition. That stays safe as
+    // long as partition counts scale with the corpus (AQE coalescing /
+    // skew-split plus an adequate shuffle.partitions setting keep the
+    // per-task build under executor memory; sf10 StageStats receipts in
+    // BASELINE.md record the observed peak). The win over SMJ: the SMJ
+    // alternative externally SORTS both ~290 B/row band streams —
+    // StageStats at benign 5M docs attributed the whole benign-decade
+    // superlinearity to that sort (write-side shuffle-sorter spill onset
+    // 0 → 11.5 GB disk plus 17× probe CPU on exactly-10×-linear bytes).
+    // The hint removes the sort from both sides; the single reused
+    // exchange is unchanged.
     val cand = flagged.alias("x")
       .join(flagged.alias("y").hint("SHUFFLE_HASH"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id") &&

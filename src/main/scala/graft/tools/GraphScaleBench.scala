@@ -107,12 +107,14 @@ object GraphScaleBench {
     val m = edges.count()
 
     def timed(name: String)(body: => Long): Unit = {
-      stats.foreach(_.reset()) // per-operator attribution, setup excluded
+      // drain the async bus on both sides of the timed body so a prior
+      // operator's tail events can't leak into this one's attribution
+      stats.foreach { l => l.drain(spark); l.reset() }
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"graphscale_$name","nodes":$n,"edges":$m,"rows":$rows,"total_sec":$sec%.2f,"ns_per_edge":${sec * 1e9 / m}%.1f}""")
-      stats.foreach { l => println(s"[stagestats] $name:"); l.report() }
+      stats.foreach { l => l.drain(spark); println(s"[stagestats] $name:"); l.report() }
     }
 
     if (which == "lpa" || which == "both")

@@ -70,4 +70,24 @@ class StageStats extends SparkListener {
   }
 
   def reset(): Unit = synchronized { stages.clear() }
+
+  /** Drain the async listener bus before a reset()/report() boundary.
+    * Runs a sentinel job and waits until its stage-completion event has
+    * reached this listener; the bus delivers in order per queue, so once
+    * the sentinel lands every event from the preceding timed body has
+    * landed too — late onTaskEnd/onStageCompleted deliveries can no
+    * longer be dropped by reset() or attributed to the next operator.
+    * The sentinel's own stage rows are removed after the wait.
+    */
+  def drain(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val before = synchronized(stages.keySet.toSet)
+    spark.sparkContext.range(0, 1).count() // stage name = "count at StageStats.scala:NN"
+    def sentinelIds = synchronized {
+      stages.collect { case (id, a)
+        if !before(id) && a.name.contains("StageStats.scala") => id }.toSeq
+    }
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (sentinelIds.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+    synchronized { sentinelIds.foreach(stages.remove) }
+  }
 }

@@ -167,9 +167,14 @@ class DedupHotBucketSpec extends AnyFunSuite {
     val plan = operators.DedupOps.nearDupPairs(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val blocks = plan.split("\n\n")
+    // key on the join-keys attribute lines ("Left/Right keys: [... bh#N ...]"),
+    // not a bare "bh" substring — the column name "bhs" and any future
+    // Output/Input attribute lines in node details would match spuriously
+    def keyedOnBh(b: String): Boolean = b.linesIterator.exists(l =>
+      (l.contains("Left keys") || l.contains("Right keys")) && l.contains("bh#"))
     assert(blocks.exists(b =>
-      b.matches("(?s)\\(\\d+\\) ShuffledHashJoin.*") && b.contains("bh")), plan)
+      b.matches("(?s)\\(\\d+\\) ShuffledHashJoin.*") && keyedOnBh(b)), plan)
     assert(!blocks.exists(b =>
-      b.matches("(?s)\\(\\d+\\) SortMergeJoin.*") && b.contains("bh")), plan)
+      b.matches("(?s)\\(\\d+\\) SortMergeJoin.*") && keyedOnBh(b)), plan)
   }
 }
