@@ -26,13 +26,22 @@ object Bench {
     }
 
     set.foreach(runOnce) // warm-up: JIT + codegen + parquet footer caches
+    tools.KernelCanary.timeOnce(spark) // warm the canary's codegen too
     // Min over INTERLEAVED rounds: the sandboxed filesystem shows erratic
     // multi-second IO stalls, and back-to-back repeats of one query all
     // sit inside the same stall — rotating through the whole set between
     // repeats decorrelates them, and min is the noise-robust estimator.
     val timings = collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3; q <- set) timings(q.name) ::= runOnce(q)
+    // Two drift canaries ride along (BASELINE.md discipline): q01 (in the
+    // set) probes scan/agg drift; the fixed-size KernelCanary cell probes
+    // the shuffle/memory-sensitive kernel shape that q01 can't see. It is
+    // timed interleaved once per round and reported OUTSIDE the total.
+    var kernelCanary = List.empty[Double]
+    for (_ <- 1 to 3) {
+      for (q <- set) timings(q.name) ::= runOnce(q)
+      kernelCanary ::= tools.KernelCanary.timeOnce(spark)
+    }
     // two extra rounds for the sub-2s queries, where one stall still
     // dominates all three samples but retries are nearly free
     val cheap = set.filter(q => timings(q.name).filter(_ >= 0) match {
@@ -48,7 +57,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val q01 = results.collectFirst {
+      case (n, v) if n.startsWith("q01") => v }.getOrElse(-1.0)
+    val canaries =
+      f""""canaries":{"q01_scan":$q01%.3f,"kernel":${kernelCanary.min}%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$canaries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

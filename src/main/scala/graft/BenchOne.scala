@@ -12,9 +12,16 @@ object BenchOne {
     require(args.nonEmpty, "usage: BenchOne <query-name> [<query-name> ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get("graft-bench-one")
-    val qs = args.toSeq.map(n => Queries.byName.getOrElse(n,
-      throw new NoSuchElementException(
-        s"no catalog query '$n'; known: ${Queries.all.map(_.name).sorted.mkString(", ")}")))
+    val qs = args.toSeq.map {
+      // the fixed-size kernel drift probe rides along as a pseudo-query
+      // (same interleaved discipline; ignores sfDir by construction)
+      case "canary_kernel" =>
+        Q("canary_kernel", (s, _) => tools.KernelCanary.build(s), None)
+      case n => Queries.byName.getOrElse(n,
+        throw new NoSuchElementException(
+          s"no catalog query '$n'; known: canary_kernel, " +
+            Queries.all.map(_.name).sorted.mkString(", ")))
+    }
 
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
