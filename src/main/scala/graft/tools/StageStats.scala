@@ -16,7 +16,11 @@ class StageStats extends SparkListener {
     var taskMs: Long = 0, var gcMs: Long = 0, var cpuMs: Long = 0,
     var shuffleReadB: Long = 0, var shuffleWriteB: Long = 0,
     var memSpillB: Long = 0, var diskSpillB: Long = 0,
-    var tasks: Int = 0, var inputB: Long = 0, var maxTaskMs: Long = 0)
+    var tasks: Int = 0, var inputB: Long = 0, var maxTaskMs: Long = 0,
+    // max over tasks of TaskMetrics.peakExecutionMemory — the largest
+    // single-task unsafe-memory footprint (hash maps, sort buffers);
+    // the number that decides whether a build-side map fits an executor
+    var peakExecMemB: Long = 0)
 
   private val stages = mutable.Map.empty[Int, Agg]
 
@@ -34,6 +38,8 @@ class StageStats extends SparkListener {
       a.inputB += m.inputMetrics.bytesRead
       a.tasks += 1
       if (m.executorRunTime > a.maxTaskMs) a.maxTaskMs = m.executorRunTime
+      if (m.peakExecutionMemory > a.peakExecMemB)
+        a.peakExecMemB = m.peakExecutionMemory
     }
   }
 
@@ -51,14 +57,14 @@ class StageStats extends SparkListener {
   /** Print the top-N stages by summed task time, then totals. */
   def report(top: Int = 12): Unit = synchronized {
     println("[stagestats] stage tasks wall_s task_s maxtask_s cpu_s gc_s " +
-      "shufR_GB shufW_GB spillMem_GB spillDisk_GB input_GB name")
+      "shufR_GB shufW_GB spillMem_GB spillDisk_GB input_GB peakMem_MB name")
     stages.toSeq.sortBy(-_._2.taskMs).take(top).foreach { case (id, a) =>
       println(f"[stagestats] $id%5d ${a.tasks}%5d ${a.wallMs / 1e3}%6.1f " +
         f"${a.taskMs / 1e3}%7.1f ${a.maxTaskMs / 1e3}%9.1f " +
         f"${a.cpuMs / 1e3}%7.1f ${a.gcMs / 1e3}%5.1f " +
         f"${gb(a.shuffleReadB)}%8s ${gb(a.shuffleWriteB)}%8s " +
         f"${gb(a.memSpillB)}%11s ${gb(a.diskSpillB)}%12s " +
-        f"${gb(a.inputB)}%8s ${a.name}")
+        f"${gb(a.inputB)}%8s ${a.peakExecMemB / 1048576}%10d ${a.name}")
     }
     val t = stages.values
     println(f"[stagestats] TOTAL stages=${stages.size} " +
@@ -66,7 +72,8 @@ class StageStats extends SparkListener {
       f"gc_s=${t.map(_.gcMs).sum / 1e3}%.1f " +
       f"shufR_GB=${gb(t.map(_.shuffleReadB).sum)} " +
       f"shufW_GB=${gb(t.map(_.shuffleWriteB).sum)} " +
-      f"spillDisk_GB=${gb(t.map(_.diskSpillB).sum)}")
+      f"spillDisk_GB=${gb(t.map(_.diskSpillB).sum)} " +
+      f"peakMem_MB=${(if (t.isEmpty) 0L else t.map(_.peakExecMemB).max) / 1048576}")
   }
 
   def reset(): Unit = synchronized { stages.clear() }
