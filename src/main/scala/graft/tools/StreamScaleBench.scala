@@ -35,7 +35,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     a session once the watermark passes its close) — bound is
   *     ~U in-flight structs, independent of the event count.
   *
-  * Usage: tools/run.sh graft.tools.StreamScaleBench [events] [chunks] [dedup|funnel|rollup|sessions|all]
+  *   - clickPurchaseJoin (r11 ask #5): per-SIDE buffered state =
+  *     rate × (watermark + trailing window), NOT stream length — a
+  *     click older than watermark−30 min can never match a future
+  *     purchase and is evicted. The line prints state high-water vs
+  *     one hour of join-side arrivals; ~O(1) is the pass shape.
+  *
+  *   - dailyDistinctActives (r11 ask #5): the CHAINED two-stateful-op
+  *     pipeline (windowed dropDuplicates → count). Needs a fixture
+  *     spanning multiple DAYS (its own daily-chunk dataset below):
+  *     dedup state is bounded by actives × (days inside the 2-day
+  *     watermark), evicted as the watermark closes each day; the line
+  *     prints state high-water vs the naive users × days product.
+  *
+  * Usage: tools/run.sh graft.tools.StreamScaleBench [events] [chunks] [dedup|funnel|rollup|sessions|join|actives|all]
   */
 object StreamScaleBench {
 
@@ -49,33 +62,38 @@ object StreamScaleBench {
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-streamscale").toString
-    val dataDir = s"$base/events"
-    // C files of one event-time hour each, written sequentially so the
-    // file source (which orders by modification time) replays event
-    // time monotonically and the watermark advances every trigger
+    // C files of one event-time CHUNK each (an hour for most modes, a
+    // day for `actives`), written sequentially so the file source
+    // (which orders by modification time) replays event time
+    // monotonically and the watermark advances every trigger
     val perChunk = n / chunks
-    (0 until chunks).foreach { c =>
-      spark.range(c * perChunk, (c + 1) * perChunk)
-        .select(
-          col("id").as("event_id"),
-          timestamp_micros(lit(1704067200000000L) + // 2024-01-01 00:00 UTC
-            (col("id") * lit(3600L * 1000000L * chunks / n))).as("ts"),
-          pmod(xxhash64(col("id")), lit(users)).as("user_id"),
-          element_at(array(lit("signup"), lit("view"), lit("click"),
-            lit("purchase")), (pmod(xxhash64(col("id") * 31), lit(4)) + 1).cast("int"))
-            .as("event_type"),
-          (pmod(xxhash64(col("id") * 17), lit(1000)) / lit(100.0)).as("value"),
-          concat(lit("payload "),
-            pmod(xxhash64(col("id") * 13), lit(math.max(1L, n * 4 / 5))))
-            .as("text"))
-        .coalesce(4)
-        .write.mode(if (c == 0) "overwrite" else "append").parquet(dataDir)
-    }
+    def genFixture(dir: String, chunkSec: Long): Unit =
+      (0 until chunks).foreach { c =>
+        spark.range(c * perChunk, (c + 1) * perChunk)
+          .select(
+            col("id").as("event_id"),
+            timestamp_micros(lit(1704067200000000L) + // 2024-01-01 00:00 UTC
+              (col("id") * lit(chunkSec * 1000000L * chunks / n))).as("ts"),
+            pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+            element_at(array(lit("signup"), lit("view"), lit("click"),
+              lit("purchase")), (pmod(xxhash64(col("id") * 31), lit(4)) + 1).cast("int"))
+              .as("event_type"),
+            (pmod(xxhash64(col("id") * 17), lit(1000)) / lit(100.0)).as("value"),
+            concat(lit("payload "),
+              pmod(xxhash64(col("id") * 13), lit(math.max(1L, n * 4 / 5))))
+              .as("text"))
+          .coalesce(4)
+          .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
+      }
+    val dataDir = s"$base/events"
+    genFixture(dataDir, 3600L)
     val schema = spark.read.parquet(dataDir).schema
 
-    def stream(): DataFrame = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 4) // 4 files/chunk → 1 trigger/hour
-      .parquet(dataDir)
+    def streamDir(dir: String): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4) // 4 files/chunk → 1 trigger/chunk
+      .parquet(dir)
+
+    def stream(): DataFrame = streamDir(dataDir)
 
     def report(name: String, q: StreamingQuery, wallS: Double,
         extra: String = ""): Unit = {
@@ -142,6 +160,45 @@ object StreamScaleBench {
         .reduceOption(_ max _).getOrElse(0L).toDouble / users
       report("sessions", q, s,
         f""","users":$users,"state_bytes_per_user":$bytesPerUser%.1f""")
+    }
+    if (which == "join" || which == "all") {
+      // stream-stream inner join, both sides watermarked 1 h with a
+      // 30 min trailing time-range — per-SIDE buffered state is
+      // rate × (watermark + window), independent of stream length
+      val (q, s) = timed {
+        EventStreams.clickPurchaseJoin(
+            stream().select("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$base/ckpt-join").start()
+      }
+      // join-side arrivals per event-time hour: clicks + purchases are
+      // ~half of all events → the boundedness denominator
+      val hourlyJoinRows = n.toDouble / chunks / 2
+      val stateMax = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .reduceOption(_ max _).getOrElse(0L)
+      report("join", q, s,
+        f""","hourly_join_rows":$hourlyJoinRows%.0f,"state_vs_hourly":${stateMax / hourlyJoinRows}%.2f""")
+    }
+    if (which == "actives" || which == "all") {
+      // chained two-stateful-op pipeline (windowed dropDuplicates →
+      // count) over a DAILY-chunk fixture: C days of events under a
+      // 2-day watermark, so eviction closes day windows as the stream
+      // advances. Naive unbounded state would be users × C days; the
+      // bound is users × (days inside the watermark).
+      val dailyDir = s"$base/events-daily"
+      genFixture(dailyDir, 86400L)
+      val (q, s) = timed {
+        EventStreams.dailyDistinctActives(
+            streamDir(dailyDir).select("event_id", "ts", "user_id", "event_type", "value"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$base/ckpt-actives").start()
+      }
+      val stateMax = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .reduceOption(_ max _).getOrElse(0L)
+      report("actives", q, s,
+        f""","users":$users,"days":$chunks,"naive_rows":${users * chunks},"state_vs_naive":${stateMax.toDouble / (users * chunks)}%.2f""")
     }
     if (which == "rollup" || which == "all") {
       val t0 = System.nanoTime()
