@@ -688,8 +688,16 @@ object DedupOps {
     // its own materialization and its bucketing makes the per-round
     // edge⋈label join exchange-free on the edge side, so it is used
     // as-is (a localCheckpoint would erase the bucketed partitioning).
+    // REBALANCE before materializing: the union concatenates both input
+    // plans' partitions (e.g. 2 × 256 AQE-width verify outputs = 512),
+    // and localCheckpoint freezes that count — every propagation round
+    // then pays per-partition task overhead on near-empty partitions
+    // (p01 at sf0.1: 512 tasks per round-stage over a 0.2 GB frame).
+    // The AQE-sized shuffle right-sizes partitions to the actual edge
+    // bytes at ANY scale: a handful at sf0.1, hundreds at 100 TB.
     val sym = symAdj.getOrElse(edges.toDF("src", "dst")
       .union(edges.toDF("dst", "src").select("src", "dst"))
+      .hint("rebalance")
       .materialize)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
