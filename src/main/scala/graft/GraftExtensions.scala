@@ -59,6 +59,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
         }
       }))
+    // minhash_sig(whs ARRAY<BIGINT>[, numHashes INT[, seed BIGINT]]) —
+    // the fused per-ROW signature kernel (same hash family and literal
+    // rules as minhash_agg; bit-identical, pinned by MinHashSigSpec).
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
+          x match {
+            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v.toLong
+            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig: $what must be an integer literal, got ${other.sql}")
+          }
+        exprs match {
+          case Seq(child) => graft.functions.MinHashSig(child, 64, 42L)
+          case Seq(child, n) =>
+            graft.functions.MinHashSig(child, longLit(n, "numHashes").toInt, 42L)
+          case Seq(child, n, s) =>
+            graft.functions.MinHashSig(child,
+              longLit(n, "numHashes").toInt, longLit(s, "seed"))
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig takes 1-3 arguments (whs[, numHashes[, seed]]), got ${other.size}")
+        }
+      }))
     // dense_bitmap_agg(id BIGINT/INT, nBits INT literal) + bitmap
     // cardinality arithmetic — the audience-store primitive; nBits must
     // be a literal (it bounds the aggregation state).

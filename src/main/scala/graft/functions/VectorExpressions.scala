@@ -491,6 +491,9 @@ object VectorFunctions {
   def varint_delta_encode(a: Column): Column =
     Bridge.column(VarintDeltaEncode(Bridge.expression(a)))
 
+  def minhash_sig(whs: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    Bridge.column(MinHashSig(Bridge.expression(whs), numHashes, seed))
+
   def varint_intersect_within(a: Column, b: Column, budget: Column): Column =
     Bridge.column(VarintIntersectWithin(
       Bridge.expression(a), Bridge.expression(b), Bridge.expression(budget)))
@@ -513,5 +516,17 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "varint_intersect_within",
       exprs => VarintIntersectWithin(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", {
+        // SQL form: minhash_sig(whs [, numHashes [, seed]]) with literal args
+        case Seq(c) => MinHashSig(c, 64, 42L)
+        case Seq(c, k) => MinHashSig(c,
+          k.eval().asInstanceOf[Number].intValue(), 42L)
+        case Seq(c, k, s) => MinHashSig(c,
+          k.eval().asInstanceOf[Number].intValue(),
+          s.eval().asInstanceOf[Number].longValue())
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig takes 1-3 args, got ${other.size}")
+      }, "built-in")
   }
 }

@@ -116,21 +116,21 @@ object DedupOps {
     val P = 2147483647L // 2^31-1, prime
     val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
     // scan-local sketch: each doc's word hashes are computed ONCE, then
-    // the k per-hash minima are taken in expression space — the
-    // StreamDedup.sigExpr shape, pinned bit-identical to the
-    // MinHashAgg aggregate by StreamDedupSpec. The aggregate
+    // all k per-hash minima are taken in ONE fused pass by the native
+    // MinHashSig expression — bit-identical to the MinHashAgg aggregate
+    // (same hashParams family; pinned by MinHashSigSpec). The aggregate
     // formulation this replaces exploded every (doc, word) row through
     // a full shuffle just to regroup by doc_id — at 100 TB that's a
     // corpus-sized shuffle bought for nothing, since the signature is
     // a per-ROW function of the word array (measured 18 → 11 s at
-    // sf0.1 for d02 end-to-end).
+    // sf0.1 for d02 end-to-end); the earlier 64-transform expression
+    // chain traversed + allocated the hash array 64× per doc where the
+    // kernel does one traversal, zero intermediates.
     val (numBands, rowsPerBand) = lshBandingFor(threshold)
-    val ab = graft.functions.MinHashAgg.hashParams(numBands * rowsPerBand, 42L)
     val sigs = words.filter(size(col("words")) > 0)
       .withColumn("whs", expr(s"transform(words, w -> pmod(xxhash64(w), ${P}L))"))
-      .select(col("doc_id"), array(ab.map { case (a, b) =>
-        array_min(expr(s"transform(whs, h -> pmod(${a}L * h + ${b}L, ${P}L))"))
-      }: _*).as("sig"))
+      .select(col("doc_id"), graft.functions.VectorFunctions
+        .minhash_sig(col("whs"), numBands * rowsPerBand, 42L).as("sig"))
     // band key = hash of the band's `rowsPerBand` signature values.
     // numBands is THE banding constant: bandCols and the firstMatch chain
     // below both derive from it — diverging copies would silently drop

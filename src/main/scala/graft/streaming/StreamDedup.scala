@@ -36,17 +36,17 @@ object StreamDedup {
   private val wordsExpr: Column =
     expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
 
-  /** (words → sig) in expression space: sig[i] = min over distinct words
-    * of (a_i·wh + b_i) mod P, wh = pmod(xxhash64(word), P). a·wh + b <
-    * (2^31)^2 + 2^31 — no BIGINT overflow. Empty docs get null mins;
-    * callers drop them (they cannot be near-dups at any threshold). */
-  private[graft] def sigExpr(wordsCol: String): Column = {
-    val ab = MinHashAgg.hashParams(numHashes, seed)
-    array(ab.map { case (a, b) =>
-      array_min(expr(
-        s"transform($wordsCol, w -> pmod(${a}L * pmod(xxhash64(w), ${P}L) + ${b}L, ${P}L))"))
-    }: _*)
-  }
+  /** (words → sig): wh = pmod(xxhash64(word), P) computed ONCE per word,
+    * then the fused native [[graft.functions.MinHashSig]] kernel takes
+    * all 64 minima of (a_i·wh + b_i) mod P in one pass (the replaced
+    * 64-transform chain re-hashed every word 64× and allocated 64
+    * intermediate arrays per doc). a·wh + b < (2^31)^2 + 2^31 — no
+    * BIGINT overflow. Callers drop empty docs (they cannot be near-dups
+    * at any threshold); the kernel would give them all-MaxValue sigs. */
+  private[graft] def sigExpr(wordsCol: String): Column =
+    graft.functions.VectorFunctions.minhash_sig(
+      expr(s"transform($wordsCol, w -> pmod(xxhash64(w), ${P}L))"),
+      numHashes, seed)
 
   /** d02's banding: bh[band] = xxhash64 of the band's 4 signature rows. */
   private def bandHashExprs(sigCol: String): Seq[Column] =
