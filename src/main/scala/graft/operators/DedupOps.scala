@@ -107,11 +107,16 @@ object DedupOps {
     * at the threshold-adaptive banding, then exact Jaccard ≥ `threshold`
     * on candidates only. Shared by d02 (pair listing) and the streaming
     * twin. */
-  /** The un-materialized LSH band frame (doc_id, bhs, band, bh) plus
-    * its numBands constant — extracted so the hot-bucket spec can
-    * measure bucket loads and the derived cutoff on arbitrary corpora
-    * with exactly the production banding. */
-  private[graft] def lshBands(s: SparkSession, dir: String,
+  /** The un-materialized PER-DOC LSH frame (doc_id, bhs, hs, sz) plus
+    * its numBands constant: ONE tokenize pass computes both the band
+    * vector (bhs) and the sorted word-hash set the exact verify needs
+    * (hs) — nearDupPairs materializes THIS once and derives the
+    * exploded band frame and the verify sets from its blocks, where
+    * the earlier shape tokenized the corpus twice (once per
+    * materialize) and stored 16 copies of bhs per doc. At 100 TB one
+    * corpus scan instead of two is the dominant term. Empty docs are
+    * dropped (they have no bands and cannot be near-dups). */
+  private[graft] def lshDocFrame(s: SparkSession, dir: String,
       threshold: Double): (DataFrame, Int) = {
     val P = 2147483647L // 2^31-1, prime
     val words = docs(s, dir).select(col("doc_id"), wordsExpr.as("words"))
@@ -129,44 +134,62 @@ object DedupOps {
     val (numBands, rowsPerBand) = lshBandingFor(threshold)
     val sigs = words.filter(size(col("words")) > 0)
       .withColumn("whs", expr(s"transform(words, w -> pmod(xxhash64(w), ${P}L))"))
-      .select(col("doc_id"), graft.functions.VectorFunctions
+      .select(col("doc_id"), col("words"), graft.functions.VectorFunctions
         .minhash_sig(col("whs"), numBands * rowsPerBand, 42L).as("sig"))
     // band key = hash of the band's `rowsPerBand` signature values.
-    // numBands is THE banding constant: bandCols and the firstMatch chain
-    // below both derive from it — diverging copies would silently drop
-    // candidate pairs whose first colliding band is past the shorter list
-    val bandCols = (0 until numBands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i =>
-          element_at(col("sig"), i + 1)): _*).as("bh"))
-    }
-    // each band row also carries the doc's FULL 16-hash vector (128 bytes
-    // on an 80k-row frame — negligible), so the join can emit a pair only
-    // in the FIRST band where the two docs collide: exactly-once pair
-    // emission in expression space, replacing a distinct() that had to
-    // shuffle every (pair × matching-band) copy — the near-dup-heavy
-    // corpus made that ~16× the distinct pair volume
-    // materialized ONCE (EAGER localCheckpoint): the band frame feeds
-    // three consumers — hot-bucket detection and both sides of the
-    // candidate self-join — and without materialization each consumer
-    // re-runs the scan + tokenize + minhash-sketch pipeline (measured
-    // ~23 s → ~13 s for d02 at sf0.1). Eager, not lazy: the consumers
-    // sit in PARALLEL stages of one action, and a lazy checkpoint's
-    // blocks are raced by both stages — each computes the full sketch
-    // before either publishes (measured ~7 s of duplicated stage time
-    // at sf0.1). 16 rows × ~150 bytes per doc ≈ shuffle-file scale, the
-    // same materialization a 100 TB run would park in the LSH index.
-    val bands = sigs
-      .withColumn("bhs", array(bandCols.map(c => c.getField("bh")): _*))
-      .select(col("doc_id"), col("bhs"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("bhs"), col("b.band").as("band"), col("b.bh").as("bh"))
-    (bands, numBands)
+    // numBands is THE banding constant: bhs and the firstMatch chain in
+    // nearDupPairs both derive from it — diverging copies would silently
+    // drop candidate pairs whose first colliding band is past the
+    // shorter list. hs rides along so the SAME pass also produces the
+    // exact-verify representation (raw xxhash64, sorted).
+    val bhs = array((0 until numBands).map { bnd =>
+      xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i =>
+        element_at(col("sig"), i + 1)): _*)
+    }: _*)
+    val perDoc = sigs.select(
+      col("doc_id"), bhs.as("bhs"),
+      array_sort(expr("transform(words, w -> xxhash64(w))")).as("hs"))
+      .withColumn("sz", size(col("hs")))
+    (perDoc, numBands)
+  }
+
+  /** The exploded band frame (doc_id, bhs, band, bh) derived from a
+    * per-doc LSH frame — scan-local expression work over the per-doc
+    * blocks, so consumers can re-derive it freely once the per-doc
+    * frame is materialized. Each band row carries the doc's FULL
+    * band vector so the candidate join can emit a pair only in the
+    * FIRST band where the two docs collide: exactly-once pair emission
+    * in expression space, replacing a distinct() that had to shuffle
+    * every (pair × matching-band) copy. */
+  private[graft] def bandsOf(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("doc_id"), col("bhs"),
+      posexplode(col("bhs")).as(Seq("band", "bh")))
+
+  /** Compatibility shape for tools/specs: the un-materialized exploded
+    * band frame plus numBands. */
+  private[graft] def lshBands(s: SparkSession, dir: String,
+      threshold: Double): (DataFrame, Int) = {
+    val (perDoc, numBands) = lshDocFrame(s, dir, threshold)
+    (bandsOf(perDoc), numBands)
   }
 
   private[graft] def nearDupPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9, maxBucket: Int = 0): DataFrame = {
-    val (bands0, numBands) = lshBands(s, dir, threshold)
-    val bands = bands0.materialize
+    val (perDoc0, numBands) = lshDocFrame(s, dir, threshold)
+    // materialized ONCE (EAGER localCheckpoint): the per-doc frame
+    // feeds hot-bucket detection, both sides of the candidate
+    // self-join AND both exact-verify sides — without materialization
+    // each consumer re-runs the scan + tokenize + sketch pipeline
+    // (measured ~23 s → ~13 s for d02 at sf0.1 for the band frame
+    // alone; the verify sets previously paid a SECOND tokenize scan
+    // under their own materialize). Eager, not lazy: the consumers sit
+    // in PARALLEL stages of one action, and a lazy checkpoint's blocks
+    // are raced by both stages — each computes the full sketch before
+    // either publishes (measured ~7 s of duplicated stage time at
+    // sf0.1). One row × (128 B bhs + the word-hash set) per doc — the
+    // same materialization a 100 TB run would park in the LSH index.
+    val perDoc = perDoc0.materialize
+    val bands = bandsOf(perDoc.select("doc_id", "bhs"))
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
     // (AQE can split the partitions but not shrink the pair volume). Docs
@@ -244,10 +267,11 @@ object DedupOps {
       .filter(col("x.doc_id") < col("y.doc_id") &&
         !(col("x.hot") && col("y.hot")) && col("band") === firstMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // same once-materialization as `bands`: the hashed word sets feed
-    // both verify sides and the hot-doc fallback kernel (eager for the
-    // same parallel-stage reason)
-    val sets = hashedWordSets(s, dir).materialize
+    // the verify sets are a PROJECTION of the already-materialized
+    // per-doc frame — no second tokenize scan (empty docs are absent,
+    // which cannot matter: they have no bands, so they never appear in
+    // `cand`, and an empty doc is never a near-dup of anything)
+    val sets = perDoc.select("doc_id", "hs", "sz")
     // exact verify on candidates only, over sorted-long word sets; hot
     // docs' mutual pairs come from the exact kernel (disjoint from the
     // cold set by the both-hot filter above, so a plain union)
