@@ -712,15 +712,22 @@ object DedupOps {
     // its own materialization and its bucketing makes the per-round
     // edge⋈label join exchange-free on the edge side, so it is used
     // as-is (a localCheckpoint would erase the bucketed partitioning).
-    // REBALANCE before materializing: the union concatenates both input
-    // plans' partitions (e.g. 2 × 256 AQE-width verify outputs = 512),
-    // and localCheckpoint freezes that count — every propagation round
-    // then pays per-partition task overhead on near-empty partitions
-    // (p01 at sf0.1: 512 tasks per round-stage over a 0.2 GB frame).
-    // The AQE-sized shuffle right-sizes partitions to the actual edge
-    // bytes at ANY scale: a handful at sf0.1, hundreds at 100 TB.
+    // Symmetrize via EXPLODE, one pass over the (usually expensive)
+    // edge plan — a union(e, e.swapped) executes the upstream pipeline
+    // once per branch before this materialize (for dedup graphs that
+    // was the whole prefix+verify kernel, twice). REBALANCE before
+    // materializing: localCheckpoint freezes the partition count, and
+    // the un-rebalanced shape froze the edge plan's full AQE width —
+    // every propagation round then paid per-partition task overhead on
+    // near-empty partitions (p01 at sf0.1: 512 tasks per round-stage
+    // over a 0.2 GB frame). The AQE-sized shuffle right-sizes
+    // partitions to the actual edge bytes at ANY scale: a handful at
+    // sf0.1, hundreds at 100 TB.
     val sym = symAdj.getOrElse(edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select("src", "dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .hint("rebalance")
       .materialize)
     var labels = sym.select(col("src").as("node")).distinct()
