@@ -944,7 +944,47 @@ object DedupOps {
     val conf = pref0.sparkSession.sessionState.conf
     val nPart = math.min(4096L, math.max(conf.numShufflePartitions.toLong,
       pref0.count() / 10000L)).toInt
-    val pref = pref0.repartition(nPart, col("r"))
+    // Group-salt the HOT posting lists (StageStats r12: one task ran
+    // 361 s of a 415 s sf10 query — a template token's C(df,2)
+    // enumeration lands on the single task owning hash(r), and no AQE
+    // rule can split a fused explosion). Docs of a token whose
+    // PREFIX-posting list exceeds GroupB are hashed into ⌈df/GroupB⌉
+    // groups; the self-join key widens to (r, gx, gy) with the x side
+    // replicated to its higher group pairs and the y side to its lower
+    // ones, so every unordered doc pair meets EXACTLY ONCE (same-group
+    // pairs keep the id-order tiebreak) and each (r, gx, gy) task
+    // enumerates ≤ GroupB² pairs. Replication cost is df×⌈df/GroupB⌉
+    // rows ≈ candidates/GroupB — two orders below the enumeration it
+    // spreads. Cold tokens (df ≤ GroupB, i.e. all of them on benign
+    // corpora) keep g = 1 and the exact pre-salt shape. The hot-token
+    // frame is tiny by construction (tokens with >GroupB prefix
+    // occurrences), so its join is a broadcast.
+    val GroupB = 1024
+    val hotR = pref0.groupBy("r").agg(count(lit(1)).as("dfr"))
+      .filter(col("dfr") > GroupB)
+      .select(col("r"), ceil(col("dfr") / GroupB.toDouble).cast("int").as("g"))
+    val prefG = pref0.join(broadcast(hotR), Seq("r"), "left")
+      .withColumn("g", coalesce(col("g"), lit(1)))
+      .withColumn("grp", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
+    // The explicit-N repartition on the (salted) join key is load-bearing
+    // (the g01 wedge-apex lesson): the pref frame is only a few MB, so
+    // AQE coalesces its exchange by input bytes — but the self-join
+    // EXPLODES (Σ C(df_h, 2) candidate rows ≫ pref rows), and the
+    // explosion runs on however many tasks own the coalesced partitions
+    // (measured at sf1.0: the d02 hot-set kernel join ran 2-wide,
+    // 26 s/task, ~a third of the query's wall). Pinning hash(keys, N)
+    // with N scaled to the pref row count keeps every core on the
+    // explosion; at bench SF the clamp floors N at shuffle.partitions —
+    // the plan the headline numbers were measured on. The count is a
+    // sub-second scan of the just-checkpointed blocks. (The two sides
+    // differ post-salt, so this is two small exchanges where the
+    // unsalted shape reused one.)
+    val pref = prefG.withColumn("gy", explode(expr("sequence(grp, g - 1)")))
+      .withColumnRenamed("grp", "gx")
+      .repartition(nPart, col("r"), col("gx"), col("gy"))
+    val prefY = prefG.withColumn("gx", explode(expr("sequence(0, grp)")))
+      .withColumnRenamed("grp", "gy")
+      .repartition(nPart, col("r"), col("gx"), col("gy"))
     // Conjunct order is the hot-loop budget: the size and POSITIONAL
     // bounds are integer compares and kill the overwhelming majority of
     // enumerated rows before the first_common array merge runs (codegen
@@ -967,14 +1007,23 @@ object DedupOps {
     // cliff (2.45B candidates at 10× the docs).
     val need = ceil(lit(threshold / (1 + threshold)) *
       (col("x.sz") + col("y.sz")) - 1e-9)
-    pref.alias("x").join(pref.alias("y"), Seq("r"))
-      .filter(col("x.doc_id") < col("y.doc_id") &&
+    // Cross-group pairs meet in exactly one orientation (fixed by which
+    // group each doc hashed into), so the id-order test moves OUT of the
+    // filter (a pair must not be dropped for arriving as (bigger,
+    // smaller)) and into a canonical least/greatest projection;
+    // same-group pairs (gx = gy) still meet in both orientations and
+    // keep the strict id-order tiebreak. All other conjuncts are
+    // symmetric in x/y, so orientation cannot change their verdict.
+    pref.alias("x").join(prefY.alias("y"), Seq("r", "gx", "gy"))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        (col("gx") =!= col("gy") || col("x.doc_id") < col("y.doc_id")) &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
         col("x.sz") >= col("y.sz") * threshold - 1e-9 &&
         lit(1) + least(col("x.sz") - col("x.pos"),
           col("y.sz") - col("y.pos")) >= need &&
         first_common_long(col("x.prefr"), col("y.prefr")) === col("r"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
   }
 
   private[operators] def prefixFilterPairs(s: SparkSession, dir: String,
