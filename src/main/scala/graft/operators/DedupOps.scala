@@ -1352,10 +1352,53 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
     val pref = rarityPrefix(sets, threshold).select("doc_id", "sz", "h")
-    pref.alias("x").join(tok.alias("y"), Seq("h"))
+    // Group-salt hot posting lists (the R12.13 straggler class: a hot
+    // token enumerates prefixDf × df rows in the ONE task owning
+    // hash(h)). Roles here are asymmetric, so the salt is simpler than
+    // d07's: the posting (y) side keeps its own hash group, the prefix
+    // (x) side replicates to every group — each (x, y) row pair meets
+    // exactly once (y's group is unique), per-task enumeration is
+    // bounded by prefixDf(h) × GroupB, and the downstream
+    // groupBy(doc_a, doc_b) is untouched. Cold tokens (df ≤ GroupB)
+    // keep g = 1, the exact pre-salt plan. The hot-token frame is tiny
+    // by construction → broadcast joins.
+    val GroupB = 1024
+    val hotH = tok.groupBy("h").agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") > GroupB)
+      .select(col("h"), ceil(col("dfh") / GroupB.toDouble).cast("int").as("g"))
+    val tokG = tok.join(broadcast(hotH), Seq("h"), "left")
+      .withColumn("grp", coalesce(
+        pmod(xxhash64(col("doc_id")), col("g")).cast("int"), lit(0)))
+      .drop("g")
+    val prefG = pref.join(broadcast(hotH), Seq("h"), "left")
+      .withColumn("grp", explode(expr("sequence(0, coalesce(g, 1) - 1)")))
+      .drop("g")
+    // Explicit-width repartition ON THE GROUPBY KEYS before the
+    // collapse (the g01 wedge-apex lesson, third sighting): candidate
+    // rows are 24 bytes, so AQE coalesces the agg exchange BY BYTES to
+    // ~one partition — and both the multiplicity collapse and the
+    // downstream verify attaches (which fuse onto the agg's output
+    // partitioning) ran 1-wide; StageStats sf0.1 showed ONE ~26 s task
+    // as the whole query wall. Pre-partitioning on exactly (doc_a,
+    // doc_b) lets Catalyst skip the agg's own exchange, so the
+    // collapse AND the fused verify inherit the explicit width. Work
+    // per row, not bytes per row, is the sizing signal here.
+    val conf = sets.sparkSession.sessionState.conf
+    val wide = conf.getConfString(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      conf.numShufflePartitions.toString).toInt
+    // ... and the JOIN INPUTS need the same explicit width: the posting
+    // rows are 24 B too, AQE coalesces their exchanges to a few tasks,
+    // and the enumeration explosion runs fused on those (the remaining
+    // single 21 s task after only the agg was widened).
+    prefG.repartition(wide, col("h"), col("grp")).alias("x")
+      .join(tokG.repartition(wide, col("h"), col("grp")).alias("y"),
+        Seq("h", "grp"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9)
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .repartition(wide, col("doc_a"), col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select("doc_a", "doc_b")
   }
@@ -1369,6 +1412,9 @@ object DedupOps {
     // + tokenize + hash pipeline before any publishes (the d02 race,
     // measured there at ~7 s of duplicated work at sf0.1)
     val sets = hashedWordSets(s, dir).materialize
+    // cand arrives explicitly wide on (doc_a, doc_b) — see the
+    // repartition inside containmentCandidatesOn; the broadcast verify
+    // attaches fuse onto that width with no further exchange
     val cand = containmentCandidatesOn(sets, threshold)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),

@@ -37,4 +37,19 @@ class PrefixSaltSpec extends AnyFunSuite {
     assert(pairs.filter(col("jac") =!= 1.0).count() == 0)
     pairs.unpersist()
   }
+
+  test("containment candidates with a hot posting list stay exactly-once") {
+    import spark.implicits._
+    // 1300 identical docs: every token's posting list is 1300 > GroupB,
+    // so the y side splits into groups and the prefix side replicates;
+    // the candidate set must still be every ORDERED pair once (d09's
+    // containment is directional) — the groupBy collapse would mask
+    // duplicates, so assert through the verified pairs' count instead
+    val textA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val docs = (0L until 1300L).map(i => (i, textA)).toDF("doc_id", "text")
+    val cand = operators.DedupOps.containmentCandidatesOn(
+      operators.DedupOps.hashedWordSetsOf(docs), 0.9)
+    assert(cand.count() == 1300L * 1299L)
+    assert(cand.distinct().count() == 1300L * 1299L)
+  }
 }
