@@ -29,12 +29,27 @@ object BenchOne {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // two-canary bracket (same discipline as TimeQuery): probes in the
+    // tool's own output; SPARK_GRAFT_BRACKET=0 opts out. Skipped when the
+    // invocation IS a canary probe (q01/canary_kernel only) — bracketing
+    // a probe with itself measures nothing.
+    val probeNames = Set("q01_pricing_summary", "canary_kernel")
+    val bracket = tools.CanaryBracket.enabled &&
+      !qs.forall(q => probeNames(q.name))
+    val pre = if (bracket) Some(tools.CanaryBracket.probe(spark, 3)) else None
+    pre.foreach(p => println(f"[bracket] pre q01=${p._1}%.3f kernel=${p._2}%.3f"))
     qs.foreach(runOnce) // warm-up
     val timings = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     for (_ <- 1 to 3; q <- qs) timings(q.name) ::= runOnce(q)
     qs.foreach { q =>
       val runs = timings(q.name).reverse
       println(f"${q.name}: min=${runs.min}%.3f s  samples=[${runs.map(t => f"$t%.3f").mkString(", ")}]  sf=$sfDir")
+    }
+    pre.foreach { p =>
+      val post = tools.CanaryBracket.probe(spark, 2)
+      println(f"[bracket] post q01=${post._1}%.3f kernel=${post._2}%.3f")
+      println(s"""{"metric":"canary_bracket","queries":"${qs.map(_.name).mkString(",")}",""" +
+        tools.CanaryBracket.json(p, post) + "}")
     }
     spark.stop()
   }

@@ -24,6 +24,14 @@ object TimeQuery {
       spark.sparkContext.addSparkListener(l)
       Some(l)
     } else None
+    // two-canary bracket: probe box drift BEFORE the timed runs (min-of-3,
+    // first sample eats the JIT) and again AFTER (min-of-2, warm JVM) —
+    // emitted in this tool's own output so a drifted decade cell can't be
+    // ledgered as clean by forgetting the probes. SPARK_GRAFT_BRACKET=0
+    // opts the sub-second dev loop out.
+    val bracket = graft.tools.CanaryBracket.enabled
+    val pre = if (bracket) Some(graft.tools.CanaryBracket.probe(spark, 3)) else None
+    pre.foreach(p => println(f"[bracket] pre q01=${p._1}%.3f kernel=${p._2}%.3f"))
     (0 until runs).foreach { i =>
       // keep only the final run; drain the async bus first so a prior
       // run's tail events can't survive the reset and double-count
@@ -39,6 +47,14 @@ object TimeQuery {
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.build(spark, dir).explain("formatted")
     stats.foreach { l => l.drain(spark); l.report() }
+    // post-probe AFTER the stats report so canary stages can't be
+    // attributed to the query under measurement
+    pre.foreach { p =>
+      val post = graft.tools.CanaryBracket.probe(spark, 2)
+      println(f"[bracket] post q01=${post._1}%.3f kernel=${post._2}%.3f")
+      println(s"""{"metric":"canary_bracket","query":"${q.name}",""" +
+        graft.tools.CanaryBracket.json(p, post) + "}")
+    }
     spark.stop()
   }
 }

@@ -518,15 +518,29 @@ object VectorFunctions {
       exprs => VarintIntersectWithin(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", {
-        // SQL form: minhash_sig(whs [, numHashes [, seed]]) with literal args
-        case Seq(c) => MinHashSig(c, 64, 42L)
-        case Seq(c, k) => MinHashSig(c,
-          k.eval().asInstanceOf[Number].intValue(), 42L)
-        case Seq(c, k, s) => MinHashSig(c,
-          k.eval().asInstanceOf[Number].intValue(),
-          s.eval().asInstanceOf[Number].longValue())
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig takes 1-3 args, got ${other.size}")
+        // SQL form: minhash_sig(whs [, numHashes [, seed]]). The shape
+        // args must be integer LITERALS (they fix the signature width
+        // baked into the expression at analysis time) — same rule and
+        // message as the GraftExtensions registration path, so a column
+        // argument fails with a clear error instead of an eval() on an
+        // unresolved expression.
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Long = x match {
+          case Literal(v: Int, _: IntegerType) => v.toLong
+          case Literal(v: Long, _: LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: $what must be an integer literal, got ${other.sql}")
+        }
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          exprs match {
+            case Seq(c) => MinHashSig(c, 64, 42L)
+            case Seq(c, k) => MinHashSig(c, longLit(k, "numHashes").toInt, 42L)
+            case Seq(c, k, s) => MinHashSig(c,
+              longLit(k, "numHashes").toInt, longLit(s, "seed"))
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig takes 1-3 args, got ${other.size}")
+          }
       }, "built-in")
   }
 }

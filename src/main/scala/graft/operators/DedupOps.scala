@@ -336,6 +336,34 @@ object DedupOps {
     * row uses the `SPARK_GRAFT_VERIFY_BC=false` env form). */
   @volatile private[graft] var verifyBcOverride: Option[Boolean] = None
 
+  /** TEST-ONLY ablation knobs (SaltedPlanGuardSpec). The salted kernels'
+    * scale behavior rests on plan pieces whose absence changes no OUTPUT
+    * — explicit-width repartitions (AQE would byte-coalesce the tiny
+    * candidate rows to ~1 task and fuse the enumeration onto it) and
+    * the hot-token broadcast (a shuffled attach would re-shuffle the
+    * corpus-scale side) — so output specs cannot guard them. Setting
+    * session conf `graft.ablate.explicitWidth` / `graft.ablate
+    * .broadcastHot` to "true" removes the corresponding piece, letting
+    * the plan-guard spec prove its assertions FAIL without it (a guard
+    * that cannot bite guards nothing). Never set outside tests. */
+  private def ablated(s: SparkSession, what: String): Boolean =
+    s.conf.getOption(s"graft.ablate.$what").contains("true")
+
+  /** Salt width for hot posting lists (docs per group). 1024 bounds a
+    * task's enumeration at ~GroupB² ≈ 1M pairs (~1 s of verify-shaped
+    * work) while keeping the replication overhead ≈ candidates/GroupB —
+    * two orders below the enumeration it spreads. Tunable via session
+    * conf `graft.dedup.groupB` so the sf10 sensitivity sweep (BASELINE
+    * ledger) can probe the plateau without a rebuild; the default IS the
+    * measured plateau point. */
+  private def saltGroupB(s: SparkSession): Int =
+    s.conf.getOption("graft.dedup.groupB").map(_.toInt).getOrElse(1024)
+  private def widen(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    if (ablated(df.sparkSession, "explicitWidth")) df
+    else df.repartition(n, keys: _*)
+  private def bcastHot(df: DataFrame): DataFrame =
+    if (ablated(df.sparkSession, "broadcastHot")) df else broadcast(df)
+
   private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     // The array attaches are the kernel's byte hog at scale: as SMJs,
@@ -959,11 +987,11 @@ object DedupOps {
     // corpora) keep g = 1 and the exact pre-salt shape. The hot-token
     // frame is tiny by construction (tokens with >GroupB prefix
     // occurrences), so its join is a broadcast.
-    val GroupB = 1024
+    val GroupB = saltGroupB(pref0.sparkSession)
     val hotR = pref0.groupBy("r").agg(count(lit(1)).as("dfr"))
       .filter(col("dfr") > GroupB)
       .select(col("r"), ceil(col("dfr") / GroupB.toDouble).cast("int").as("g"))
-    val prefG = pref0.join(broadcast(hotR), Seq("r"), "left")
+    val prefG = pref0.join(bcastHot(hotR), Seq("r"), "left")
       .withColumn("g", coalesce(col("g"), lit(1)))
       .withColumn("grp", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
     // The explicit-N repartition on the (salted) join key is load-bearing
@@ -979,12 +1007,14 @@ object DedupOps {
     // sub-second scan of the just-checkpointed blocks. (The two sides
     // differ post-salt, so this is two small exchanges where the
     // unsalted shape reused one.)
-    val pref = prefG.withColumn("gy", explode(expr("sequence(grp, g - 1)")))
-      .withColumnRenamed("grp", "gx")
-      .repartition(nPart, col("r"), col("gx"), col("gy"))
-    val prefY = prefG.withColumn("gx", explode(expr("sequence(0, grp)")))
-      .withColumnRenamed("grp", "gy")
-      .repartition(nPart, col("r"), col("gx"), col("gy"))
+    val pref = widen(
+      prefG.withColumn("gy", explode(expr("sequence(grp, g - 1)")))
+        .withColumnRenamed("grp", "gx"),
+      nPart, col("r"), col("gx"), col("gy"))
+    val prefY = widen(
+      prefG.withColumn("gx", explode(expr("sequence(0, grp)")))
+        .withColumnRenamed("grp", "gy"),
+      nPart, col("r"), col("gx"), col("gy"))
     // Conjunct order is the hot-loop budget: the size and POSITIONAL
     // bounds are integer compares and kill the overwhelming majority of
     // enumerated rows before the first_common array merge runs (codegen
@@ -1362,15 +1392,15 @@ object DedupOps {
     // groupBy(doc_a, doc_b) is untouched. Cold tokens (df ≤ GroupB)
     // keep g = 1, the exact pre-salt plan. The hot-token frame is tiny
     // by construction → broadcast joins.
-    val GroupB = 1024
+    val GroupB = saltGroupB(sets.sparkSession)
     val hotH = tok.groupBy("h").agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") > GroupB)
       .select(col("h"), ceil(col("dfh") / GroupB.toDouble).cast("int").as("g"))
-    val tokG = tok.join(broadcast(hotH), Seq("h"), "left")
+    val tokG = tok.join(bcastHot(hotH), Seq("h"), "left")
       .withColumn("grp", coalesce(
         pmod(xxhash64(col("doc_id")), col("g")).cast("int"), lit(0)))
       .drop("g")
-    val prefG = pref.join(broadcast(hotH), Seq("h"), "left")
+    val prefG = pref.join(bcastHot(hotH), Seq("h"), "left")
       .withColumn("grp", explode(expr("sequence(0, coalesce(g, 1) - 1)")))
       .drop("g")
     // Explicit-width repartition ON THE GROUPBY KEYS before the
@@ -1391,13 +1421,13 @@ object DedupOps {
     // rows are 24 B too, AQE coalesces their exchanges to a few tasks,
     // and the enumeration explosion runs fused on those (the remaining
     // single 21 s task after only the agg was widened).
-    prefG.repartition(wide, col("h"), col("grp")).alias("x")
-      .join(tokG.repartition(wide, col("h"), col("grp")).alias("y"),
+    widen(prefG, wide, col("h"), col("grp")).alias("x")
+      .join(widen(tokG, wide, col("h"), col("grp")).alias("y"),
         Seq("h", "grp"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
         col("y.sz") >= col("x.sz") * threshold - 1e-9)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .repartition(wide, col("doc_a"), col("doc_b"))
+      .transform(widen(_, wide, col("doc_a"), col("doc_b")))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select("doc_a", "doc_b")

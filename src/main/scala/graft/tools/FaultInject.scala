@@ -90,11 +90,17 @@ object FaultInject {
     @volatile var killedPid = ""
     // an executor JVM's comm is "java"; a bare `pgrep -f` would also
     // match this tool's own bash wrapper, whose cmdline contains the
-    // pattern (first flaky run: killed pid 354, a non-executor)
+    // pattern (first flaky run: killed pid 354, a non-executor). Filter
+    // by THIS application's id too — local-cluster executors carry
+    // `--app-id <appId>` on their cmdline — so a second Spark app on
+    // the box can never lose one of its executors to this tool.
+    val appId = spark.sparkContext.applicationId
     def executorPid(): String =
       try Seq("bash", "-c",
         "for p in $(pgrep -f CoarseGrainedExecutorBackend); do " +
           "[ \"$(cat /proc/$p/comm 2>/dev/null)\" = java ] " +
+          s"&& tr '\\0' ' ' < /proc/$$p/cmdline 2>/dev/null " +
+          s"| grep -q -- '$appId' " +
           "&& echo $p && break; done").!!.trim
       catch { case _: Throwable => "" }
     @volatile var queryDone = false

@@ -54,11 +54,15 @@ class StageStats extends SparkListener {
 
   private def gb(b: Long) = f"${b / 1e9}%.1f"
 
-  /** Print the top-N stages by summed task time, then totals. */
+  /** Print the top-N stages by summed task time, then totals. Sentinel
+    * stages from drain() are excluded unconditionally — if a saturated
+    * bus delivered one AFTER drain's deadline, it must not be attributed
+    * to the operator under measurement. */
   def report(top: Int = 12): Unit = synchronized {
+    val rows = stages.filterNot(_._2.name.contains("StageStats.scala"))
     println("[stagestats] stage tasks wall_s task_s maxtask_s cpu_s gc_s " +
       "shufR_GB shufW_GB spillMem_GB spillDisk_GB input_GB peakMem_MB name")
-    stages.toSeq.sortBy(-_._2.taskMs).take(top).foreach { case (id, a) =>
+    rows.toSeq.sortBy(-_._2.taskMs).take(top).foreach { case (id, a) =>
       println(f"[stagestats] $id%5d ${a.tasks}%5d ${a.wallMs / 1e3}%6.1f " +
         f"${a.taskMs / 1e3}%7.1f ${a.maxTaskMs / 1e3}%9.1f " +
         f"${a.cpuMs / 1e3}%7.1f ${a.gcMs / 1e3}%5.1f " +
@@ -66,8 +70,8 @@ class StageStats extends SparkListener {
         f"${gb(a.memSpillB)}%11s ${gb(a.diskSpillB)}%12s " +
         f"${gb(a.inputB)}%8s ${a.peakExecMemB / 1048576}%10d ${a.name}")
     }
-    val t = stages.values
-    println(f"[stagestats] TOTAL stages=${stages.size} " +
+    val t = rows.values
+    println(f"[stagestats] TOTAL stages=${rows.size} " +
       f"task_s=${t.map(_.taskMs).sum / 1e3}%.1f cpu_s=${t.map(_.cpuMs).sum / 1e3}%.1f " +
       f"gc_s=${t.map(_.gcMs).sum / 1e3}%.1f " +
       f"shufR_GB=${gb(t.map(_.shuffleReadB).sum)} " +
@@ -95,6 +99,13 @@ class StageStats extends SparkListener {
     }
     val deadline = System.nanoTime() + 10L * 1000000000L
     while (sentinelIds.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+    if (sentinelIds.isEmpty)
+      // the drain guarantee did NOT hold: events from the timed body may
+      // still be in flight and could land after the caller's reset().
+      // report() filters sentinel rows unconditionally, but foreign-stage
+      // attribution is possible — say so instead of failing silently.
+      println("[stagestats] WARN drain timed out after 10s; listener bus " +
+        "still saturated — next report may include late foreign stages")
     synchronized { sentinelIds.foreach(stages.remove) }
   }
 }

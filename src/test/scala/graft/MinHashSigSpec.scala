@@ -70,4 +70,33 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.length == 2000)
   }
+
+  test("empty and all-null inputs yield the all-MaxValue signature (documented contract)") {
+    // DIVERGENCE pin, not a feature: the transform-chain produced null
+    // array_min entries here, the fused kernel produces Long.MaxValue
+    // (the aggregate's empty-buffer value). Every call site pre-filters
+    // size(words) > 0; this spec keeps the divergence visible so a new
+    // call site that forgets the filter trips a failing assumption here
+    // instead of silently making all empty docs mutual LSH candidates.
+    val r = spark.sql(
+      s"SELECT minhash_sig(cast(array() as array<bigint>), $K, $Seed) AS e, " +
+        s"minhash_sig(array(cast(NULL as bigint)), $K, $Seed) AS n").head()
+    val maxSig = Seq.fill(K)(Long.MaxValue)
+    assert(r.getSeq[Long](0) == maxSig)
+    assert(r.getSeq[Long](1) == maxSig)
+    // and the chain it replaced really does differ (null min per hash)
+    val chain = spark.sql(
+      s"SELECT array_min(transform(array(cast(NULL as bigint)), h -> h)) AS m").head()
+    assert(chain.isNullAt(0))
+  }
+
+  test("temp-registration rejects non-literal shape args with a clear message") {
+    functions.VectorFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), cast(id as int), 42L) " +
+        "FROM range(1)").head()
+    }
+    assert(err.getMessage.contains("numHashes must be an integer literal"),
+      err.getMessage)
+  }
 }
