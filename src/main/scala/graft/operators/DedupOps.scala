@@ -357,7 +357,9 @@ object DedupOps {
     * ledger) can probe the plateau without a rebuild; the default IS the
     * measured plateau point. */
   private def saltGroupB(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.groupB").map(_.toInt).getOrElse(1024)
+    s.conf.getOption("graft.dedup.groupB")
+      .orElse(sys.env.get("SPARK_GRAFT_GROUPB")) // fresh-JVM sweep tools
+      .map(_.toInt).getOrElse(1024)
   private def widen(df: DataFrame, n: Int, keys: Column*): DataFrame =
     if (ablated(df.sparkSession, "explicitWidth")) df
     else df.repartition(n, keys: _*)

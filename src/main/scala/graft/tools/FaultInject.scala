@@ -36,7 +36,38 @@ import scala.sys.process._
   */
 object FaultInject {
 
+  /** A cell that crosses the GroupB salting threshold — the r12 verdict
+    * note that the canary cell sits BELOW every salting threshold by
+    * construction (deliberately, as a determinism pin), so no kill had
+    * ever landed mid-flight in the group-salted enumeration / verify
+    * stages that carry the production dedup path. A 1500-doc identical
+    * clique forces every clique token's prefix posting list to
+    * 1500 > 1024 = GroupB (g = 2): the hot-frame broadcast, the salted
+    * (r, gx, gy) exchanges and the C(1500,2) ≈ 1.12M-pair enumeration
+    * + exact verify all execute; 60k background family docs keep the
+    * cold path busy alongside. Output is deterministic (same XOR
+    * fingerprint contract as the canary cell). */
+  def saltedCell(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val cliqueText = (1 to 50).map(i => s"c$i").mkString(" ")
+    val docs = spark.range(60000L).select(
+      col("id").as("doc_id"),
+      when(col("id") < 1500L, lit(cliqueText)).otherwise(expr(
+        s"""array_join(concat(
+           |  transform(sequence(0, 49),
+           |    j -> concat('w', pmod(xxhash64(id div 4 * 2654435761L
+           |                                   + j * 1315423911L), 50000))),
+           |  transform(sequence(0, 2),
+           |    j -> concat('w', pmod(xxhash64(id * 97L + j * 7919L
+           |                                   + 1234567L), 50000)))
+           |), ' ')""".stripMargin)).as("text"))
+    graft.operators.DedupOps.prefixFilterPairsOn(
+      graft.operators.DedupOps.hashedWordSetsOf(docs), 0.8)
+  }
+
   def main(args: Array[String]): Unit = {
+    // `salted`: run the kill through the group-salted kernel path
+    // instead of the (below-threshold) canary cell
+    val salted = args.headOption.contains("salted")
     val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util",
       "java.util.concurrent", "java.util.concurrent.atomic",
@@ -74,9 +105,12 @@ object FaultInject {
       (r.getLong(0), r.getLong(1))
     }
 
+    def cell(): DataFrame =
+      if (salted) saltedCell(spark) else KernelCanary.build(spark)
+
     def timedRun(): ((Long, Long), Double) = {
       val t0 = System.nanoTime()
-      val fp = fingerprint(KernelCanary.build(spark))
+      val fp = fingerprint(cell())
       (fp, (System.nanoTime() - t0) / 1e9)
     }
 
@@ -104,10 +138,13 @@ object FaultInject {
           "&& echo $p && break; done").!!.trim
       catch { case _: Throwable => "" }
     @volatile var queryDone = false
+    @volatile var killAtS = -1.0
+    @volatile var killStages = ""
     val killer = new Thread(() => {
       val tracker = spark.sparkContext.statusTracker
       while (tracker.getActiveJobIds().isEmpty && !queryDone)
         Thread.sleep(100)
+      val tQ = System.nanoTime() // ≈ fault-run first job start
       // let some tasks finish so shuffle output exists and is then lost
       Thread.sleep(math.max(1000L, (wallBase * 0.3 * 1000).toLong))
       // kill, then verify the scheduler actually saw the removal —
@@ -120,6 +157,11 @@ object FaultInject {
         val p = executorPid()
         if (p.nonEmpty) {
           killedPid = p
+          // timestamp + active stages at the kill, so the receipt can
+          // show WHERE in the query the executor died (the salted cell's
+          // window is dominated by the enumeration/verify stages)
+          killAtS = (System.nanoTime() - tQ) / 1e9
+          killStages = tracker.getActiveStageIds().sorted.mkString("+")
           Seq("kill", "-9", p).!
           val deadline = System.nanoTime() + 8L * 1000000000L
           while (removed.get() == removedBefore && !queryDone &&
@@ -137,6 +179,8 @@ object FaultInject {
     val ok = killedPid.nonEmpty && sawRemoval && fpBase == fpFault
     println(
       s"""{"metric":"faultinject","cluster":"local-cluster[2,4,4g]",""" +
+        s""""cell":"${if (salted) "salted" else "canary"}",""" +
+        f""""kill_at_s":$killAtS%.1f,"stages_at_kill":"$killStages",""" +
         s""""killed_pid":"$killedPid","executor_removed":$sawRemoval,""" +
         s""""rows_base":${fpBase._1},"rows_fault":${fpFault._1},""" +
         s""""hash_base":${fpBase._2},"hash_fault":${fpFault._2},""" +

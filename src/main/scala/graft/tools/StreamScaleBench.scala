@@ -180,14 +180,19 @@ object StreamScaleBench {
       report("join", q, s,
         f""","hourly_join_rows":$hourlyJoinRows%.0f,"state_vs_hourly":${stateMax / hourlyJoinRows}%.2f""")
     }
+    // DAILY-chunk fixture shared by the day-window modes (actives /
+    // sketch / heavy): C days of events, generated once on first use
+    lazy val dailyDir: String = {
+      val d = s"$base/events-daily"
+      genFixture(d, 86400L)
+      d
+    }
     if (which == "actives" || which == "all") {
       // chained two-stateful-op pipeline (windowed dropDuplicates →
       // count) over a DAILY-chunk fixture: C days of events under a
       // 2-day watermark, so eviction closes day windows as the stream
       // advances. Naive unbounded state would be users × C days; the
       // bound is users × (days inside the watermark).
-      val dailyDir = s"$base/events-daily"
-      genFixture(dailyDir, 86400L)
       val (q, s) = timed {
         EventStreams.dailyDistinctActives(
             streamDir(dailyDir).select("event_id", "ts", "user_id", "event_type", "value"))
@@ -199,6 +204,45 @@ object StreamScaleBench {
         .reduceOption(_ max _).getOrElse(0L)
       report("actives", q, s,
         f""","users":$users,"days":$chunks,"naive_rows":${users * chunks},"state_vs_naive":${stateMax.toDouble / (users * chunks)}%.2f""")
+    }
+    if (which == "sketch" || which == "all") {
+      // HLL daily-distinct sketch: the sketch partial buffer IS the
+      // state VALUE, so state rows = day windows inside the watermark
+      // (not users × days — dailyDistinctActives' exact bound) and
+      // bytes are O(2^lgK) per window regardless of user cardinality.
+      // The receipt the O(k)-per-window claim was missing.
+      val (q, s) = timed {
+        EventStreams.dailyDistinctSketch(
+            streamDir(dailyDir).select("event_id", "ts", "user_id",
+              "event_type", "value"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$base/ckpt-sketch").start()
+      }
+      val stateMax = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .reduceOption(_ max _).getOrElse(0L)
+      report("sketch", q, s,
+        f""","users":$users,"days":$chunks,"naive_rows":${users * chunks},"state_vs_naive":${stateMax.toDouble / (users * chunks)}%.6f""")
+    }
+    if (which == "heavy" || which == "all") {
+      // Misra–Gries daily heavy hitters, keyed on the HIGH-cardinality
+      // payload string (~0.8·n distinct values) rather than the 4-value
+      // event_type, so the O(k)-counters-per-window claim is actually
+      // load-bearing: a naive per-key count would hold ~distinct keys ×
+      // days rows, the MG table holds ≤ k entries per window.
+      val (q, s) = timed {
+        EventStreams.dailyHeavyHitterSketch(
+            streamDir(dailyDir).select(col("event_id"), col("ts"),
+              col("user_id"), col("text").as("event_type"), col("value")))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$base/ckpt-heavy").start()
+      }
+      val stateMax = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .reduceOption(_ max _).getOrElse(0L)
+      val distinctKeys = math.max(1L, n * 4 / 5)
+      report("heavy", q, s,
+        f""","distinct_keys":$distinctKeys,"days":$chunks,"naive_rows":${distinctKeys * chunks},"state_vs_naive":${stateMax.toDouble / (distinctKeys * chunks)}%.8f""")
     }
     if (which == "rollup" || which == "all") {
       val t0 = System.nanoTime()
