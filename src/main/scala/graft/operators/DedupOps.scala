@@ -1432,7 +1432,6 @@ object DedupOps {
       .transform(widen(_, wide, col("doc_a"), col("doc_b")))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_prefix"))
-      .select("doc_a", "doc_b")
   }
 
   private[operators] def containmentPairs(s: SparkSession, dir: String,

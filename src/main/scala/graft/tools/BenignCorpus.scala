@@ -15,19 +15,29 @@ import org.apache.spark.sql.functions._
   * driver loops, no rand() — so the corpus is deterministic and the
   * generator itself scales.
   *
-  * Usage: `tools/run.sh graft.tools.BenignCorpus <dstDir> <nDocs>`
+  * Usage: `tools/run.sh graft.tools.BenignCorpus <dstDir> <nDocs> [vocab]`
+  *
+  * The optional `vocab` (default 50000) sets the shared-vocabulary
+  * size. It is the scale KNOB for the containment kernels: exact
+  * containment's candidate volume is Σ_h prefixDf(h)·df(h) ∝ n²/vocab
+  * (df grows with corpus density), so a FIXED vocab makes d09/d16
+  * fixture-quadratic at any corpus size — measured 144 s / 28.8 GB
+  * shuffle for d16 at 500k docs, df ≈ 240. A vocab ∝ nDocs (e.g.
+  * 5·nDocs → df ≈ 5) holds per-token df constant so a decade pair
+  * isolates KERNEL scaling from corpus-density growth.
   */
 object BenignCorpus {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenignCorpus <dstDir> <nDocs>")
+    require(args.length >= 2, "usage: BenignCorpus <dstDir> <nDocs> [vocab]")
     val dst = args(0)
     val nDocs = args(1).toLong
+    val vocab = if (args.length > 2) args(2).toLong else 50000L
     val spark = Session.get("graft-benign-corpus")
     try {
-      // base words of doc i, position j: v<hash(i, j) mod 50000>
+      // base words of doc i, position j: v<hash(i, j) mod vocab>
       def words(idExpr: String) =
-        s"transform(sequence(0, 23), j -> concat('v', pmod(xxhash64($idExpr * 31 + j * 7919), 50000)))"
+        s"transform(sequence(0, 23), j -> concat('v', pmod(xxhash64($idExpr * 31 + j * 7919), $vocab)))"
       val df = spark.range(nDocs)
         .select(col("id").as("doc_id"),
           when(col("id") % 20 === 19,
