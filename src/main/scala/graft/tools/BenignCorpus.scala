@@ -28,6 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object BenignCorpus {
 
+  /** The corpus frame (exposed so BenignCorpusSpec can pin the
+    * instrument's ground truth: exactly ⌊nDocs/20⌋ injected near-dup
+    * pairs at J = 24/26, at any vocab). */
+  def frame(spark: org.apache.spark.sql.SparkSession, nDocs: Long,
+      vocab: Long): org.apache.spark.sql.DataFrame = {
+    // base words of doc i, position j: v<hash(i, j) mod vocab>
+    def words(idExpr: String) =
+      s"transform(sequence(0, 23), j -> concat('v', pmod(xxhash64($idExpr * 31 + j * 7919), $vocab)))"
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 20 === 19,
+          // near-dup of the previous doc: first 24 base words shared,
+          // one fresh replica-unique word appended
+          expr(s"array_join(concat(${words("(id - 1)")}, array(concat('x', id))), ' ')"))
+          .otherwise(
+            expr(s"array_join(concat(${words("id")}, array(concat('w', id))), ' ')"))
+          .as("text"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("benign"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenignCorpus <dstDir> <nDocs> [vocab]")
     val dst = args(0)
@@ -35,23 +57,9 @@ object BenignCorpus {
     val vocab = if (args.length > 2) args(2).toLong else 50000L
     val spark = Session.get("graft-benign-corpus")
     try {
-      // base words of doc i, position j: v<hash(i, j) mod vocab>
-      def words(idExpr: String) =
-        s"transform(sequence(0, 23), j -> concat('v', pmod(xxhash64($idExpr * 31 + j * 7919), $vocab)))"
-      val df = spark.range(nDocs)
-        .select(col("id").as("doc_id"),
-          when(col("id") % 20 === 19,
-            // near-dup of the previous doc: first 24 base words shared,
-            // one fresh replica-unique word appended
-            expr(s"array_join(concat(${words("(id - 1)")}, array(concat('x', id))), ' ')"))
-            .otherwise(
-              expr(s"array_join(concat(${words("id")}, array(concat('w', id))), ' ')"))
-            .as("text"))
-        .withColumn("lang", lit("en"))
-        .withColumn("source", lit("benign"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      df.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      println(s"[benign] $nDocs docs written to $dst")
+      frame(spark, nDocs, vocab)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"[benign] $nDocs docs written to $dst (vocab $vocab)")
     } finally spark.stop()
   }
 }
