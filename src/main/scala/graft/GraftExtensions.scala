@@ -32,29 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       exprs => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
-          x match {
-            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v.toLong
-            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v
-            case other => throw new IllegalArgumentException(
-              s"minhash_agg: $what must be an integer literal, got ${other.sql}")
-          }
-        def intLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int = {
-          val v = longLit(x, what)
-          // reject instead of truncating: a wrapped numHashes would silently
-          // build a different sketch shape than the caller asked for
-          require(v >= Int.MinValue && v <= Int.MaxValue,
-            s"minhash_agg: $what out of int range: $v")
-          v.toInt
-        }
+        // shared literal validation (VectorFunctions.longLitArg/intLitArg):
+        // one definition for every registration path, incl. the
+        // reject-instead-of-truncate Int-range rule
+        import graft.functions.VectorFunctions.{intLitArg, longLitArg}
         exprs match {
           case Seq(child) => MinHashAgg(child, 64, 42L).toAggregateExpression()
           case Seq(child, n) =>
-            MinHashAgg(child, intLit(n, "numHashes"), 42L).toAggregateExpression()
-          case Seq(child, n, s) =>
-            MinHashAgg(child, intLit(n, "numHashes"), longLit(s, "seed"))
+            MinHashAgg(child, intLitArg(n, "minhash_agg", "numHashes"), 42L)
               .toAggregateExpression()
+          case Seq(child, n, s) =>
+            MinHashAgg(child, intLitArg(n, "minhash_agg", "numHashes"),
+              longLitArg(s, "minhash_agg", "seed")).toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"minhash_agg takes 1-3 arguments (hash[, numHashes[, seed]]), got ${other.size}")
         }
@@ -66,21 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
       exprs => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Long =
-          x match {
-            case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v.toLong
-            case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v
-            case other => throw new IllegalArgumentException(
-              s"minhash_sig: $what must be an integer literal, got ${other.sql}")
-          }
+        import graft.functions.VectorFunctions.{intLitArg, longLitArg}
         exprs match {
           case Seq(child) => graft.functions.MinHashSig(child, 64, 42L)
           case Seq(child, n) =>
-            graft.functions.MinHashSig(child, longLit(n, "numHashes").toInt, 42L)
+            graft.functions.MinHashSig(child,
+              intLitArg(n, "minhash_sig", "numHashes"), 42L)
           case Seq(child, n, s) =>
             graft.functions.MinHashSig(child,
-              longLit(n, "numHashes").toInt, longLit(s, "seed"))
+              intLitArg(n, "minhash_sig", "numHashes"),
+              longLitArg(s, "minhash_sig", "seed"))
           case other => throw new IllegalArgumentException(
             s"minhash_sig takes 1-3 arguments (whs[, numHashes[, seed]]), got ${other.size}")
         }

@@ -29,7 +29,11 @@ object TimeQuery {
     // emitted in this tool's own output so a drifted decade cell can't be
     // ledgered as clean by forgetting the probes. SPARK_GRAFT_BRACKET=0
     // opts the sub-second dev loop out.
-    val bracket = graft.tools.CanaryBracket.enabled
+    // (skipped when the query under measurement IS the scan probe —
+    // bracketing q01 with three warm q01 runs would both measure
+    // nothing and destroy its cold-run comparability to the ledger)
+    val bracket = graft.tools.CanaryBracket.enabled &&
+      q.name != "q01_pricing_summary"
     val pre = if (bracket) Some(graft.tools.CanaryBracket.probe(spark, 3)) else None
     pre.foreach(p => println(f"[bracket] pre q01=${p._1}%.3f kernel=${p._2}%.3f"))
     (0 until runs).foreach { i =>

@@ -498,6 +498,34 @@ object VectorFunctions {
     Bridge.column(VarintIntersectWithin(
       Bridge.expression(a), Bridge.expression(b), Bridge.expression(budget)))
 
+  /** Shared validation for sketch-shape SQL arguments: they must be
+    * integer LITERALS (they fix buffer/signature widths baked in at
+    * analysis time). One definition for every registration path — the
+    * GraftExtensions injections and the temp-function form — so the
+    * rule and its error text cannot drift between them. */
+  private[graft] def longLitArg(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    x match {
+      case Literal(v: Int, _: IntegerType) => v.toLong
+      case Literal(v: Long, _: LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got ${other.sql}")
+    }
+  }
+
+  /** Reject instead of truncating: a wrapped numHashes would silently
+    * build a different sketch shape than the caller asked for. */
+  private[graft] def intLitArg(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Int = {
+    val v = longLitArg(x, fn, what)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: $what out of int range: $v")
+    v.toInt
+  }
+
   /** Register as SQL functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -518,26 +546,19 @@ object VectorFunctions {
       exprs => VarintIntersectWithin(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", {
-        // SQL form: minhash_sig(whs [, numHashes [, seed]]). The shape
-        // args must be integer LITERALS (they fix the signature width
-        // baked into the expression at analysis time) — same rule and
-        // message as the GraftExtensions registration path, so a column
-        // argument fails with a clear error instead of an eval() on an
-        // unresolved expression.
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        def longLit(x: org.apache.spark.sql.catalyst.expressions.Expression,
-            what: String): Long = x match {
-          case Literal(v: Int, _: IntegerType) => v.toLong
-          case Literal(v: Long, _: LongType) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig: $what must be an integer literal, got ${other.sql}")
-        }
+        // SQL form: minhash_sig(whs [, numHashes [, seed]]) — shape
+        // args validated by the shared longLitArg/intLitArg rule, so a
+        // column argument fails with a clear error instead of an eval()
+        // on an unresolved expression, and an out-of-Int-range width is
+        // rejected instead of wrapping
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           exprs match {
             case Seq(c) => MinHashSig(c, 64, 42L)
-            case Seq(c, k) => MinHashSig(c, longLit(k, "numHashes").toInt, 42L)
+            case Seq(c, k) =>
+              MinHashSig(c, intLitArg(k, "minhash_sig", "numHashes"), 42L)
             case Seq(c, k, s) => MinHashSig(c,
-              longLit(k, "numHashes").toInt, longLit(s, "seed"))
+              intLitArg(k, "minhash_sig", "numHashes"),
+              longLitArg(s, "minhash_sig", "seed"))
             case other => throw new IllegalArgumentException(
               s"minhash_sig takes 1-3 args, got ${other.size}")
           }

@@ -341,13 +341,16 @@ object DedupOps {
     * — explicit-width repartitions (AQE would byte-coalesce the tiny
     * candidate rows to ~1 task and fuse the enumeration onto it) and
     * the hot-token broadcast (a shuffled attach would re-shuffle the
-    * corpus-scale side) — so output specs cannot guard them. Setting
-    * session conf `graft.ablate.explicitWidth` / `graft.ablate
-    * .broadcastHot` to "true" removes the corresponding piece, letting
-    * the plan-guard spec prove its assertions FAIL without it (a guard
-    * that cannot bite guards nothing). Never set outside tests. */
-  private def ablated(s: SparkSession, what: String): Boolean =
-    s.conf.getOption(s"graft.ablate.$what").contains("true")
+    * corpus-scale side) — so output specs cannot guard them. Flipping a
+    * knob removes the corresponding piece, letting the plan-guard spec
+    * prove its assertions FAIL without it (a guard that cannot bite
+    * guards nothing). Deliberately `private[graft]` vars, NOT session
+    * confs (the `verifyBcOverride` pattern): a user-settable conf would
+    * let one stray `SET graft.ablate…` in a sweep script silently
+    * restore the 361 s single-task sf10 shape with byte-identical
+    * output — the exact failure class the guards exist to prevent. */
+  @volatile private[graft] var ablateExplicitWidth: Boolean = false
+  @volatile private[graft] var ablateBroadcastHot: Boolean = false
 
   /** Salt width for hot posting lists (docs per group). 1024 bounds a
     * task's enumeration at ~GroupB² ≈ 1M pairs (~1 s of verify-shaped
@@ -361,10 +364,9 @@ object DedupOps {
       .orElse(sys.env.get("SPARK_GRAFT_GROUPB")) // fresh-JVM sweep tools
       .map(_.toInt).getOrElse(1024)
   private def widen(df: DataFrame, n: Int, keys: Column*): DataFrame =
-    if (ablated(df.sparkSession, "explicitWidth")) df
-    else df.repartition(n, keys: _*)
+    if (ablateExplicitWidth) df else df.repartition(n, keys: _*)
   private def bcastHot(df: DataFrame): DataFrame =
-    if (ablated(df.sparkSession, "broadcastHot")) df else broadcast(df)
+    if (ablateBroadcastHot) df else broadcast(df)
 
   private def exactVerify(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {

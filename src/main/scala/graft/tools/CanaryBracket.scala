@@ -20,7 +20,10 @@ import org.apache.spark.sql.SparkSession
   * Opt-out for the sub-second dev loop: SPARK_GRAFT_BRACKET=0.
   */
 object CanaryBracket {
-  val CanarySfDir = "/root/testdata/sf0.1"
+  /** Where the q01 probe reads from — overridable for boxes whose
+    * fixtures live elsewhere. The kernel probe is path-independent. */
+  val CanarySfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", "/root/testdata/sf0.1")
 
   def enabled: Boolean =
     !sys.env.get("SPARK_GRAFT_BRACKET").exists(v => v == "0" || v == "false")
@@ -28,18 +31,28 @@ object CanaryBracket {
   /** One probe: (q01 seconds, kernel seconds), each min over `runs`
     * noop-sink materializations (pre-position callers use runs=3 so the
     * JIT-cold first sample is discarded by the min; post-position the
-    * JVM is warm and runs=2 suffices). */
+    * JVM is warm and runs=2 suffices). A missing canary dir must not
+    * turn a working timing invocation into a crash: the q01 probe is
+    * skipped with a warning (reported as −1) and the path-independent
+    * kernel probe still runs. */
   def probe(spark: SparkSession, runs: Int): (Double, Double) = {
-    val q01 = graft.Queries.byName("q01_pricing_summary")
-    def q01Once(): Double = {
-      val t0 = System.nanoTime()
-      q01.build(spark, CanarySfDir)
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val qs = (1 to runs).map(_ => q01Once())
+    val qmin =
+      if (!new java.io.File(CanarySfDir).isDirectory) {
+        println(s"[bracket] WARN q01 canary dir $CanarySfDir missing " +
+          "(set SPARK_GRAFT_CANARY_DIR); q01 probe skipped")
+        -1.0
+      } else {
+        val q01 = graft.Queries.byName("q01_pricing_summary")
+        def q01Once(): Double = {
+          val t0 = System.nanoTime()
+          q01.build(spark, CanarySfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to runs).map(_ => q01Once()).min
+      }
     val ks = (1 to runs).map(_ => KernelCanary.timeOnce(spark))
-    (qs.min, ks.min)
+    (qmin, ks.min)
   }
 
   def json(pre: (Double, Double), post: (Double, Double)): String =

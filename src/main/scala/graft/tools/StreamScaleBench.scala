@@ -59,6 +59,10 @@ object StreamScaleBench {
     val spark = Session.get("graft-streamscale")
     spark.sparkContext.setLogLevel("WARN")
     val users = math.max(1000L, n / 100L)
+    // payload cardinality — ONE definition shared by the fixture
+    // generator and the heavy mode's naive-state denominator, so tuning
+    // the fixture can't silently stale the ledger ratio
+    val payloadKeys = math.max(1L, n * 4 / 5)
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-streamscale").toString
@@ -80,7 +84,7 @@ object StreamScaleBench {
               .as("event_type"),
             (pmod(xxhash64(col("id") * 17), lit(1000)) / lit(100.0)).as("value"),
             concat(lit("payload "),
-              pmod(xxhash64(col("id") * 13), lit(math.max(1L, n * 4 / 5))))
+              pmod(xxhash64(col("id") * 13), lit(payloadKeys)))
               .as("text"))
           .coalesce(4)
           .write.mode(if (c == 0) "overwrite" else "append").parquet(dir)
@@ -240,9 +244,8 @@ object StreamScaleBench {
       val stateMax = q.recentProgress.toSeq
         .flatMap(_.stateOperators.map(_.numRowsTotal))
         .reduceOption(_ max _).getOrElse(0L)
-      val distinctKeys = math.max(1L, n * 4 / 5)
       report("heavy", q, s,
-        f""","distinct_keys":$distinctKeys,"days":$chunks,"naive_rows":${distinctKeys * chunks},"state_vs_naive":${stateMax.toDouble / (distinctKeys * chunks)}%.8f""")
+        f""","distinct_keys":$payloadKeys,"days":$chunks,"naive_rows":${payloadKeys * chunks},"state_vs_naive":${stateMax.toDouble / (payloadKeys * chunks)}%.8f""")
     }
     if (which == "rollup" || which == "all") {
       val t0 = System.nanoTime()

@@ -98,5 +98,11 @@ class MinHashSigSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("numHashes must be an integer literal"),
       err.getMessage)
+    // reject instead of truncating: 2^32 + 64 would .toInt-wrap to a
+    // valid-looking 64-wide signature
+    val wrap = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), 4294967360L)").head()
+    }
+    assert(wrap.getMessage.contains("out of int range"), wrap.getMessage)
   }
 }

@@ -16,7 +16,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * tiny hot-token frame. A Spark/AQE upgrade could silently restore the
   * single-task shape; these assertions turn that into a test failure.
   *
-  * Every guard is proven to BITE: the `graft.ablate.*` knobs remove the
+  * Every guard is proven to BITE: DedupOps' test-only
+  * `ablateExplicitWidth` / `ablateBroadcastHot` vars remove the
   * corresponding plan piece (output unchanged) and the same predicate
   * must then FAIL — a guard that passes on the ablated plan guards
   * nothing.
@@ -148,12 +149,13 @@ class SaltedPlanGuardSpec extends AnyFunSuite {
   }
 
   test("the explicit-width guard BITES: ablating the repartitions fails it") {
-    withConf("graft.ablate.explicitWidth" -> "true") {
+    operators.DedupOps.ablateExplicitWidth = true
+    try {
       assert(byNumExchanges(blocks(d07Kernel), Seq("r", "gx", "gy")) == 0)
       val bs = blocks(d09Kernel)
       assert(byNumExchanges(bs, Seq("h", "grp")) == 0)
       assert(byNumExchanges(bs, Seq("doc_a", "doc_b")) == 0)
-    }
+    } finally operators.DedupOps.ablateExplicitWidth = false
   }
 
   test("the broadcast guard BITES: ablating the hint drops the broadcast when size stats can't carry it") {
@@ -163,10 +165,11 @@ class SaltedPlanGuardSpec extends AnyFunSuite {
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       assert(joinsOn(blocks(d07Kernel), "BroadcastHashJoin", "r", "LeftOuter") >= 1)
       assert(joinsOn(blocks(d09Kernel), "BroadcastHashJoin", "h", "LeftOuter") >= 2)
-      withConf("graft.ablate.broadcastHot" -> "true") {
+      operators.DedupOps.ablateBroadcastHot = true
+      try {
         assert(joinsOn(blocks(d07Kernel), "BroadcastHashJoin", "r", "LeftOuter") == 0)
         assert(joinsOn(blocks(d09Kernel), "BroadcastHashJoin", "h", "LeftOuter") == 0)
-      }
+      } finally operators.DedupOps.ablateBroadcastHot = false
     }
   }
 }
