@@ -37,7 +37,7 @@ object BenchOne {
     val bracket = tools.CanaryBracket.enabled &&
       !qs.forall(q => probeNames(q.name))
     val pre = if (bracket) Some(tools.CanaryBracket.probe(spark, 3)) else None
-    pre.foreach(p => println(f"[bracket] pre q01=${p._1}%.3f kernel=${p._2}%.3f"))
+    pre.foreach(p => println(f"[bracket] pre q01=${tools.CanaryBracket.fmtQ01(p)} kernel=${p.kernel}%.3f"))
     qs.foreach(runOnce) // warm-up
     val timings = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     for (_ <- 1 to 3; q <- qs) timings(q.name) ::= runOnce(q)
@@ -47,7 +47,7 @@ object BenchOne {
     }
     pre.foreach { p =>
       val post = tools.CanaryBracket.probe(spark, 2)
-      println(f"[bracket] post q01=${post._1}%.3f kernel=${post._2}%.3f")
+      println(f"[bracket] post q01=${tools.CanaryBracket.fmtQ01(post)} kernel=${post.kernel}%.3f")
       println(s"""{"metric":"canary_bracket","queries":"${qs.map(_.name).mkString(",")}",""" +
         tools.CanaryBracket.json(p, post) + "}")
     }

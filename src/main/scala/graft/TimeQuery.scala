@@ -35,7 +35,7 @@ object TimeQuery {
     val bracket = graft.tools.CanaryBracket.enabled &&
       q.name != "q01_pricing_summary"
     val pre = if (bracket) Some(graft.tools.CanaryBracket.probe(spark, 3)) else None
-    pre.foreach(p => println(f"[bracket] pre q01=${p._1}%.3f kernel=${p._2}%.3f"))
+    pre.foreach(p => println(f"[bracket] pre q01=${graft.tools.CanaryBracket.fmtQ01(p)} kernel=${p.kernel}%.3f"))
     (0 until runs).foreach { i =>
       // keep only the final run; drain the async bus first so a prior
       // run's tail events can't survive the reset and double-count
@@ -55,7 +55,7 @@ object TimeQuery {
     // attributed to the query under measurement
     pre.foreach { p =>
       val post = graft.tools.CanaryBracket.probe(spark, 2)
-      println(f"[bracket] post q01=${post._1}%.3f kernel=${post._2}%.3f")
+      println(f"[bracket] post q01=${graft.tools.CanaryBracket.fmtQ01(post)} kernel=${post.kernel}%.3f")
       println(s"""{"metric":"canary_bracket","query":"${q.name}",""" +
         graft.tools.CanaryBracket.json(p, post) + "}")
     }

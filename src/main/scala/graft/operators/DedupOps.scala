@@ -359,10 +359,33 @@ object DedupOps {
     * conf `graft.dedup.groupB` so the sf10 sensitivity sweep (BASELINE
     * ledger) can probe the plateau without a rebuild; the default IS the
     * measured plateau point. */
-  private def saltGroupB(s: SparkSession): Int =
-    s.conf.getOption("graft.dedup.groupB")
-      .orElse(sys.env.get("SPARK_GRAFT_GROUPB")) // fresh-JVM sweep tools
-      .map(_.toInt).getOrElse(1024)
+  private def saltGroupB(s: SparkSession): Int = {
+    // The sweep override is deliberately validated and LOUD: a stray
+    // `SET graft.dedup.groupB=<huge>` (or a leftover SPARK_GRAFT_GROUPB
+    // in the shell) would silently disable hot-token salting with
+    // byte-identical output — the straggler-restoring failure class the
+    // ablation knobs were kept off confs to prevent. Reject anything
+    // that isn't a positive int naming its source, and echo any
+    // non-default width so sweep overrides are visible in tool output.
+    val fromConf = s.conf.getOption("graft.dedup.groupB")
+      .map(v => ("session conf graft.dedup.groupB", v))
+    val src = fromConf.orElse( // fresh-JVM sweep tools
+      sys.env.get("SPARK_GRAFT_GROUPB").map(v => ("env SPARK_GRAFT_GROUPB", v)))
+    src match {
+      case None => 1024
+      case Some((where, raw)) =>
+        val v = try raw.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$where must be a positive int (docs per salt group); got '$raw'")
+        }
+        if (v <= 0) throw new IllegalArgumentException(
+          s"$where must be a positive int (docs per salt group); got $v")
+        if (v != 1024) System.err.println(
+          s"[dedup] hot-token salt GroupB=$v via $where (measured plateau " +
+            "default: 1024) — sweep override active")
+        v
+    }
+  }
   private def widen(df: DataFrame, n: Int, keys: Column*): DataFrame =
     if (ablateExplicitWidth) df else df.repartition(n, keys: _*)
   private def bcastHot(df: DataFrame): DataFrame =

@@ -232,8 +232,15 @@ object StreamScaleBench {
       // Misra–Gries daily heavy hitters, keyed on the HIGH-cardinality
       // payload string (~0.8·n distinct values) rather than the 4-value
       // event_type, so the O(k)-counters-per-window claim is actually
-      // load-bearing: a naive per-key count would hold ~distinct keys ×
-      // days rows, the MG table holds ≤ k entries per window.
+      // load-bearing: a naive per-(key, window) count would hold one row
+      // per distinct (payload, day) pair, the MG table holds ≤ k entries
+      // per window. The naive denominator is MEASURED from the fixture
+      // (batch distinct over the same files the stream replays), not
+      // assumed: with ~0.8·n keys over n events each key occurs ~1.25
+      // times total, so keys × days would overstate the naive state
+      // ~days-fold (r13 ADVICE) — the honest denominator is ≈ n, and
+      // deriving it from the data keeps it honest if the fixture's key
+      // distribution is ever retuned.
       val (q, s) = timed {
         EventStreams.dailyHeavyHitterSketch(
             streamDir(dailyDir).select(col("event_id"), col("ts"),
@@ -244,8 +251,11 @@ object StreamScaleBench {
       val stateMax = q.recentProgress.toSeq
         .flatMap(_.stateOperators.map(_.numRowsTotal))
         .reduceOption(_ max _).getOrElse(0L)
+      val naiveRows = spark.read.parquet(dailyDir)
+        .select(col("text"), to_date(col("ts")).as("day"))
+        .distinct().count()
       report("heavy", q, s,
-        f""","distinct_keys":$payloadKeys,"days":$chunks,"naive_rows":${payloadKeys * chunks},"state_vs_naive":${stateMax.toDouble / (payloadKeys * chunks)}%.8f""")
+        f""","distinct_keys":$payloadKeys,"days":$chunks,"naive_rows":$naiveRows,"state_vs_naive":${stateMax.toDouble / naiveRows}%.8f""")
     }
     if (which == "rollup" || which == "all") {
       val t0 = System.nanoTime()

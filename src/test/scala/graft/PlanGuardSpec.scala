@@ -16,6 +16,17 @@ class PlanGuardSpec extends AnyFunSuite {
   lazy val spark = Session.builder("graft-test").master("local[4]")
     .config("spark.sql.shuffle.partitions", "4").getOrCreate()
 
+  /** Version provenance (r13 verdict ask #6): the whitelist below
+    * encodes which physical join Spark 4.1.2's planner picks per query;
+    * a jar swap must fail here rather than silently re-validate. */
+  test("provenance: plan guardrail validated on Spark 4.1.2") {
+    info(s"running on Spark ${spark.version}")
+    assert(spark.version == "4.1.2",
+      s"plan guardrail was validated on Spark 4.1.2 but this is " +
+        s"${spark.version} — re-check the BNL whitelist and " +
+        "CartesianProduct sweep on the new version, then update this pin")
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries where a BroadcastNestedLoopJoin is the intended plan:

@@ -31,6 +31,20 @@ class SaltedPlanGuardSpec extends AnyFunSuite {
   lazy val spark = Session.builder("graft-saltedplan-test").master("local[4]")
     .config("spark.sql.shuffle.partitions", "4").getOrCreate()
 
+  /** Version provenance (r13 verdict ask #6): these guards pin
+    * AQE-sensitive plan shapes, so they are only evidence FOR the Spark
+    * they were validated on. A jar swap must show up in the test report
+    * as this failure — re-validate the guarded shapes on the new
+    * version, then update the pin. */
+  test("provenance: salted plan shapes validated on Spark 4.1.2") {
+    info(s"running on Spark ${spark.version}")
+    assert(spark.version == "4.1.2",
+      s"salted plan guards were validated on Spark 4.1.2 but this is " +
+        s"${spark.version} — re-validate the guarded shapes (explicit-width " +
+        "exchanges, hot-frame broadcast, pair-collapse partitioning) on the " +
+        "new version, then update this pin")
+  }
+
   private def docs: DataFrame = {
     import spark.implicits._
     val base = (1 to 12).map(i => s"w$i")
