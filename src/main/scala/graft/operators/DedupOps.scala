@@ -1744,8 +1744,11 @@ object DedupOps {
     * groups), the quality score rides the document scan, and the cluster
     * labels reuse the shared written-once pair graph — so the only new
     * cost over d06 is one scan-riding projection and a per-cluster top-1.
-    * Ordering uses the 4-digit ROUNDED score both engines already
-    * hash-agree on (t04), so the winner is cross-engine deterministic. */
+    * Ordering uses t04's 4-digit score in its EXACT-INTEGER round-half-up
+    * form (see t04's scaladoc — the quality rational can land exactly on
+    * a ten-thousandth-and-a-half, where `round(double, 4)` is
+    * engine-dependent), so the winner is cross-engine deterministic at
+    * every scale. */
   val d15 = Q("d15_quality_winner_dedup",
     (s, dir) => {
       val cc = connectedComponents(
@@ -1754,16 +1757,19 @@ object DedupOps {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       val quality = Tables.df(s, dir, "documents")
         .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_ratio",
-          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
-            col("n_tokens"))
-        .withColumn("alpha_ratio",
-          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("st",
+          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
+            .cast("long"))
+        .withColumn("al",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        .withColumn("lt", length(col("text")).cast("long"))
+        .withColumn("num",
+          least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
+            lit(3000L) * (col("n") - col("st")) * col("lt") +
+            lit(2000L) * col("al") * col("n"))
         .select(col("doc_id"),
-          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-            (lit(1.0) - col("stop_ratio")) * 0.3 +
-            col("alpha_ratio") * 0.2, 4).as("quality"))
+          (expr("(2*num + n*lt) div (2*n*lt)") / 10000.0).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
       cc.join(quality, "doc_id")
@@ -1798,15 +1804,16 @@ object DedupOps {
         GROUP BY node),
       q AS (
         SELECT doc_id,
-               round(least(1.0, n_tokens / 50.0) * 0.5 +
-                     (1.0 - n_stop / n_tokens) * 0.3 +
-                     (n_alpha / length(text)) * 0.2, 4) AS quality
+               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
+                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
+                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
         FROM (
           SELECT doc_id, text,
                  len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
                  len(list_filter(string_split(text,' '),
                      x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-                 length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+                 length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                 length(text) AS lt
           FROM documents)),
       ranked AS (
         SELECT cc.cluster_id, cc.doc_id, q.quality,

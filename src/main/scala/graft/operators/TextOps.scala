@@ -114,40 +114,57 @@ object TextOps {
       ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- t04
-  /** Quality scoring: length/stopword/alpha ratios combined to one score. */
+  /** Quality scoring: length/stopword/alpha ratios combined to one score.
+    *
+    * All three rounded columns are computed as EXACT integer
+    * round-half-up at 4 decimals — `round_4(p/q) = (2·10⁴·p + q) div
+    * (2·q)` over longs — instead of `round(double, 4)`. The quality sum
+    * is an exact rational (num/den below) whose true value can land
+    * exactly on a ten-thousandth-and-a-half: the first sf1.0 oracle
+    * board caught a doc whose quality is EXACTLY 0.93125, where Spark's
+    * decimal-string HALF_UP round of the (1-ulp-low, FMA-contracted)
+    * double said .9312 and DuckDB's float-multiply round said .9313.
+    * Integer arithmetic makes both engines compute the same
+    * well-defined value at every scale. Magnitudes fit comfortably in
+    * long: num ≤ 5000·n_tokens·n_chars ≈ 5·10¹² at a 10⁵-char doc. */
   val t04 = Q("t04_quality_score",
     (s, dir) =>
       docs(s, dir)
         .withColumn("toks", tokensExpr)
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_ratio",
-          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
-            col("n_tokens"))
-        .withColumn("alpha_ratio",
-          length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("st",
+          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
+            .cast("long"))
+        .withColumn("al",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        .withColumn("lt", length(col("text")).cast("long"))
+        // quality = min(1, n/50)·0.5 + (1 − st/n)·0.3 + (al/lt)·0.2,
+        // as the exact rational num/(n·lt) scaled by 10⁴
+        .withColumn("num",
+          least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
+            lit(3000L) * (col("n") - col("st")) * col("lt") +
+            lit(2000L) * col("al") * col("n"))
         .select(
           col("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          round(col("stop_ratio"), 4).as("stop_ratio"),
-          round(col("alpha_ratio"), 4).as("alpha_ratio"),
-          round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-            (lit(1.0) - col("stop_ratio")) * 0.3 +
-            col("alpha_ratio") * 0.2, 4).as("quality"))
+          col("n").as("n_tokens"),
+          (expr("(2*10000*st + n) div (2*n)") / 10000.0).as("stop_ratio"),
+          (expr("(2*10000*al + lt) div (2*lt)") / 10000.0).as("alpha_ratio"),
+          (expr("(2*num + n*lt) div (2*n*lt)") / 10000.0).as("quality"))
         .orderBy("doc_id"),
     Some("""
       WITH t AS (
-        SELECT doc_id, text,
-               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
                len(list_filter(string_split(text,' '),
-                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS st,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS al,
+               length(text) AS lt
         FROM documents)
-      SELECT doc_id, n_tokens,
-             round(n_stop / n_tokens, 4) AS stop_ratio,
-             round(n_alpha / length(text), 4) AS alpha_ratio,
-             round(least(1.0, n_tokens / 50.0) * 0.5 +
-                   (1.0 - n_stop / n_tokens) * 0.3 +
-                   (n_alpha / length(text)) * 0.2, 4) AS quality
+      SELECT doc_id, n AS n_tokens,
+             ((2*10000*st + n) // (2*n)) / 10000.0 AS stop_ratio,
+             ((2*10000*al + lt) // (2*lt)) / 10000.0 AS alpha_ratio,
+             ((2*(least(5000, 100*n)*n*lt + 3000*(n-st)*lt + 2000*al*n)
+               + n*lt) // (2*n*lt)) / 10000.0 AS quality
       FROM t
       ORDER BY doc_id"""))
 
@@ -290,20 +307,27 @@ object TextOps {
     * what a SQL oracle can check. */
   /** t04/t09's quality score per document — shared by the exact-ntile
     * and approx-cutpoint decile formulations so they rank the same
-    * corpus identically. */
+    * corpus identically. Same exact-integer round-half-up as t04 (see
+    * its scaladoc): the quality rational can land exactly on a
+    * ten-thousandth-and-a-half, where `round(double, 4)` is
+    * engine-dependent — here that knife edge would silently flip a
+    * doc's decile, not just its 4th decimal. */
   private def qualityScored(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", tokensExpr)
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("stop_ratio",
-        size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))")) /
-          col("n_tokens"))
-      .withColumn("alpha_ratio",
-        length(regexp_replace(col("text"), "[^a-z]", "")) / length(col("text")))
-      .withColumn("quality",
-        round(least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-          (lit(1.0) - col("stop_ratio")) * 0.3 +
-          col("alpha_ratio") * 0.2, 4))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("st",
+        size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
+          .cast("long"))
+      .withColumn("al",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("lt", length(col("text")).cast("long"))
+      .withColumn("num",
+        least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
+          lit(3000L) * (col("n") - col("st")) * col("lt") +
+          lit(2000L) * col("al") * col("n"))
+      .withColumn("n_tokens", col("n"))
+      .withColumn("quality", expr("(2*num + n*lt) div (2*n*lt)") / 10000.0)
 
   val t09 = Q("t09_quality_deciles",
     (s, dir) => {
@@ -322,13 +346,14 @@ object TextOps {
                len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
                len(list_filter(string_split(text,' '),
                    x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               length(text) AS lt
         FROM documents),
       scored AS (
         SELECT doc_id,
-               round(least(1.0, n_tokens / 50.0) * 0.5 +
-                     (1.0 - n_stop / n_tokens) * 0.3 +
-                     (n_alpha / length(text)) * 0.2, 4) AS quality
+               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
+                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
+                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
         FROM t),
       ranked AS (
         SELECT quality,
@@ -499,13 +524,14 @@ object TextOps {
                len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
                len(list_filter(string_split(text,' '),
                    x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               length(text) AS lt
         FROM documents),
       scored AS (
         SELECT doc_id,
-               round(least(1.0, n_tokens / 50.0) * 0.5 +
-                     (1.0 - n_stop / n_tokens) * 0.3 +
-                     (n_alpha / length(text)) * 0.2, 4) AS quality
+               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
+                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
+                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
         FROM t),
       ranked AS (
         SELECT quality, row_number() OVER (ORDER BY quality) AS rk FROM scored),

@@ -49,7 +49,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        # driver testdata = single parquet FILES; the ScaleUp/BenignCorpus
+        # fixtures are Spark-written DIRECTORIES of part files — glob those
+        # (sf1.0 oracle board, r13 verdict ask #1)
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
