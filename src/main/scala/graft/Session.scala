@@ -10,11 +10,41 @@ import org.apache.spark.sql.SparkSession
 object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Master override (r13 verdict ask #2): `SPARK_GRAFT_MASTER=
+    * local-cluster[4,8,4096]` runs the SAME session as a real multi-JVM
+    * standalone mini-cluster — serialization boundaries, executor-side
+    * classloading, and broadcast shipping all become real, which
+    * in-process local mode can mask (the worker launcher needs
+    * SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13 in the env).
+    * Executor JVMs inherit the driver's classpath and JDK17 opens. */
+  private def master: String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  private def withClusterExecutorConfs(
+      b: SparkSession.Builder): SparkSession.Builder =
+    if (!master.startsWith("local-cluster")) b
+    else {
+      val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util",
+        "java.util.concurrent", "java.util.concurrent.atomic",
+        "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar")
+        .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+      val cp = Seq(
+        s"${System.getProperty("user.dir")}/target/scala-2.13/classes",
+        s"${System.getProperty("user.dir")}/src/main/resources",
+        "/opt/spark/jars/*").mkString(":")
+      b.config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
+        .config("spark.executor.extraClassPath", cp)
+        .config("spark.executor.extraJavaOptions", addOpens)
+    }
+
   def builder(appName: String): SparkSession.Builder =
-    SparkSession.builder()
+    withClusterExecutorConfs(SparkSession.builder())
       .withExtensions(new GraftExtensions) // native functions for SQL
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Decouple the BIG-shuffle width from the core count: AQE plans
