@@ -4,24 +4,41 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
+  /** Linear-oracle members of otherwise-excluded families (r14): their
+    * DuckDB sides are scans / hash-groupBys / equi- or interval-joins —
+    * d01 digest groupBy, d08/d13 shingle-join decontamination, d14
+    * span-hash groupBy, j01–j03 binned/equi/interval joins — each
+    * measured ≤2 s in DuckDB at sf1.0, so they belong on the scale
+    * board even though their family siblings replay quadratic pair
+    * spaces. */
+  val linearExtras: Seq[String] = Seq(
+    "d01_exact_dedup", "d08_decontaminate", "d13_bloom_decontaminate",
+    "d14_span_dedup", "j01_range_join_binned", "j02_salted_join",
+    "j03_interval_overlap")
+
   /** The scale-diverse oracle board (r10 verdict ask #5): every catalog
     * query whose DuckDB oracle is LINEAR in the input — the q (TPC-H
-    * relational), e (events), t (text) and v (validation) families — is
-    * also run at sf0.1, catching scale-dependent divergence the sf0.01
-    * board cannot (first catch: e17/e22's HLL merge bit-equality gates,
-    * which only break past the list→HLL promotion boundary). EXCLUDED,
-    * with reasons: the d (dedup) and g (graph) families — their oracles
-    * replay the full QUADRATIC exact pair space in DuckDB (d02's oracle
-    * alone is a 600k-doc self-join at sf0.1); s01–s12 — s01/s02's oracle
-    * is the brute-force all-pairs scan and the rest replay the same IVF
+    * relational), e (events), t (text) and v (validation) families plus
+    * [[linearExtras]] — is also run at sf0.1 AND (since r14) at the
+    * sf1.0 ScaleUp fixture, catching scale-dependent divergence the
+    * sf0.01 board cannot (catches: r11 e17/e22's HLL merge bit-equality
+    * gates past the list→HLL promotion boundary; r14 t04's quality
+    * rational landing exactly on a ten-thousandth-and-a-half where
+    * `round(double, 4)` is engine-dependent). EXCLUDED, with reasons:
+    * the rest of the d family and the g family — their oracles replay
+    * the full QUADRATIC exact pair space in DuckDB (d02's oracle alone
+    * is a 600k-doc self-join at sf0.1; d15's recursive-CTE CC blows
+    * past 10 min already at sf0.1); s01–s12 — s01/s02's oracle is the
+    * brute-force all-pairs scan and the rest replay the same IVF
     * algorithm at quadratic oracle cost; p01/p02 — they compose the
     * dedup kernels (same quadratic oracle); m01–m07 — deterministic
     * codec stubs whose outputs are scale-invariant by construction;
     * mr01–mr03 — fixed mini-corpus inputs, no sf dependence. Run it at
-    * round close via `graft.Verify <sf0.1Dir> <out> @sf01-linear` +
+    * round close via `graft.Verify <sfDir> <out> @sf01-linear` +
     * `tools/check.py`. */
   def sf01LinearBoard: Seq[String] =
-    SparkEntry.queries.keys.toSeq.filter(n => "qetv".contains(n.head)).sorted
+    (SparkEntry.queries.keys.toSeq.filter(n => "qetv".contains(n.head)) ++
+      linearExtras).sorted
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
