@@ -95,14 +95,27 @@ object EventOps {
       ev(s, dir)
         .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
         .groupBy("event_type")
-        .agg(count(col("k")).as("n_with_k"), round(avg(col("k")), 4).as("avg_k"))
+        // avg of a BIGINT is an integer rational Σk/n — exact integer
+        // round-half-up at 4 digits (the q33/t04 knife-edge class, r14)
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sk"))
+        .withColumn("avg_k",
+          when(col("n_with_k") === 0L, lit(null).cast("double"))
+            .otherwise(expr("(20000*sk + n_with_k) div (2*n_with_k)")
+              / 10000.0))
+        .select(col("event_type"), col("n_with_k"), col("avg_k"))
         .orderBy("event_type"),
     Some("""
-      SELECT event_type,
-             count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_with_k,
-             round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
-      FROM events
-      GROUP BY event_type
+      WITH t AS (
+        SELECT event_type,
+               count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_with_k,
+               sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sk
+        FROM events
+        GROUP BY event_type)
+      SELECT event_type, n_with_k,
+             CASE WHEN n_with_k = 0 THEN NULL
+                  ELSE ((20000*sk + n_with_k) // (2*n_with_k)) / 10000.0
+             END AS avg_k
+      FROM t
       ORDER BY event_type"""))
 
   // ---------------------------------------------------------------- e04
@@ -117,12 +130,22 @@ object EventOps {
           .groupBy("user_id").agg(min(unix_micros(col("ts"))).as(name))
       val su = firstByType("signup", "su_us")
       val pu = firstByType("purchase", "pu_us")
+      // the converted-delta average is Σµs/(10⁶·n) — an integer
+      // rational that can land exactly on a hundredth-and-a-half —
+      // exact integer round-half-up (the q33/t04 knife-edge class, r14)
       su.join(pu, Seq("user_id"), "left_outer")
         .agg(
           count(lit(1)).as("n_signup_users"),
           count(when(col("pu_us") > col("su_us"), 1)).as("n_converted"),
-          round(avg(when(col("pu_us") > col("su_us"),
-            (col("pu_us") - col("su_us")) / 1000000.0)), 2).as("avg_convert_sec"))
+          sum(when(col("pu_us") > col("su_us"),
+            col("pu_us") - col("su_us"))).as("sum_us"))
+        .withColumn("avg_convert_sec",
+          when(col("n_converted") === 0L, lit(null).cast("double"))
+            .otherwise(expr(
+              "(2*sum_us + n_converted*10000) div (2*n_converted*10000)")
+              / 100.0))
+        .select(col("n_signup_users"), col("n_converted"),
+          col("avg_convert_sec"))
     },
     Some("""
       WITH su AS (
@@ -133,8 +156,14 @@ object EventOps {
         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
       SELECT count(*) AS n_signup_users,
              count(CASE WHEN pu_us > su_us THEN 1 END) AS n_converted,
-             round(avg(CASE WHEN pu_us > su_us THEN (pu_us - su_us) / 1000000.0 END), 2)
-               AS avg_convert_sec
+             CASE WHEN count(CASE WHEN pu_us > su_us THEN 1 END) = 0
+                  THEN NULL
+                  ELSE ((2*sum(CASE WHEN pu_us > su_us
+                                    THEN pu_us - su_us END)
+                         + count(CASE WHEN pu_us > su_us THEN 1 END)*10000)
+                        // (2*count(CASE WHEN pu_us > su_us THEN 1 END)*10000))
+                       / 100.0
+             END AS avg_convert_sec
       FROM su LEFT JOIN pu USING (user_id)"""))
 
   // ---------------------------------------------------------------- e05
@@ -890,7 +919,13 @@ object EventOps {
         .select(col("day_s"),
           expr("bitmap_and_cardinality(bm, bm0)").as("retained"),
           expr("bitmap_cardinality(bm0)").as("cohort_size"))
-        .withColumn("rate", round(col("retained") / col("cohort_size"), 6))
+        // retained/cohort_size is an INTEGER rational — a true
+        // millionth-and-a-half tie makes round(double, 6)
+        // engine-dependent (the q33/t04 class, r14): exact integer
+        // round-half-up instead
+        .withColumn("rate",
+          expr("(2000000*retained + cohort_size) div (2*cohort_size)")
+            / 1000000.0)
         .orderBy("day_s")
     },
     Some("""
@@ -908,7 +943,8 @@ object EventOps {
         FROM days d LEFT JOIN cohort c ON d.user_id = c.user_id
         GROUP BY d.day_s)
       SELECT day_s, retained, cohort_size,
-             round(retained / cohort_size, 6) AS rate
+             ((2000000*retained + cohort_size) // (2*cohort_size))
+               / 1000000.0 AS rate
       FROM counts
       ORDER BY day_s"""))
 

@@ -63,9 +63,16 @@ object PipelineOps {
     (s, dir) =>
       curated(s, dir)
         .groupBy("lang")
+        // avg of integer token counts = Σ/n, an integer rational whose
+        // true value can land exactly on a hundredth-and-a-half —
+        // round(double, 2) is engine-dependent there (the q33/t04
+        // knife-edge class, r14): exact integer round-half-up instead
         .agg(count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("total_tokens"),
-          round(avg("n_tokens"), 2).as("avg_tokens"))
+          sum("n_tokens").as("total_tokens"))
+        .withColumn("avg_tokens",
+          expr("(200*total_tokens + n_docs) div (2*n_docs)") / 100.0)
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("avg_tokens"))
         .orderBy("lang"),
     Some("""
       WITH RECURSIVE f AS (
@@ -105,7 +112,8 @@ object PipelineOps {
         SELECT * FROM dq WHERE doc_id NOT IN (SELECT node FROM drops))
       SELECT lang, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             round(avg(n_tokens), 2) AS avg_tokens
+             ((200*sum(n_tokens) + count(*)) // (2*count(*))) / 100.0
+               AS avg_tokens
       FROM kept
       GROUP BY lang
       ORDER BY lang"""),
@@ -135,10 +143,15 @@ object PipelineOps {
           sum("n_tokens").as("tokens"),
           min("n_tokens").as("min_tokens"),
           max("n_tokens").as("max_tokens"))
+        // both ratios are integer rationals (Σtokens / count,
+        // Σtokens / Σtokens) — exact integer round-half-up (the
+        // q33/t04 knife-edge class, r14)
         .withColumn("mean_tokens",
-          round(col("tokens") / col("n_docs"), 4))
+          expr("(20000*tokens + n_docs) div (2*n_docs)") / 10000.0)
+        .withColumn("all_tokens", sum("tokens").over(w))
         .withColumn("pct_tokens",
-          round(col("tokens") / sum("tokens").over(w), 6))
+          expr("(2000000*tokens + all_tokens) div (2*all_tokens)")
+            / 1000000.0)
         .select("source", "lang", "n_docs", "tokens", "min_tokens",
           "max_tokens", "mean_tokens", "pct_tokens")
         .orderBy("source", "lang")
@@ -155,8 +168,10 @@ object PipelineOps {
                CAST(max(n_tokens) AS BIGINT) AS max_tokens
         FROM t GROUP BY 1, 2)
       SELECT source, lang, n_docs, tokens, min_tokens, max_tokens,
-             round(tokens * 1.0 / n_docs, 4) AS mean_tokens,
-             round(tokens * 1.0 / sum(tokens) OVER (), 6) AS pct_tokens
+             ((20000*tokens + n_docs) // (2*n_docs)) / 10000.0
+               AS mean_tokens,
+             ((2000000*tokens + sum(tokens) OVER ())
+               // (2*sum(tokens) OVER ())) / 1000000.0 AS pct_tokens
       FROM g
       ORDER BY source, lang"""))
 

@@ -731,24 +731,45 @@ object Relational {
     * identically. */
   val q33 = Q("q33_window_ranks",
     (s, dir) => {
+      // percent_rank = (r−1)/(n−1) and cume_dist = r/n are INTEGER
+      // rationals, so their true value can land exactly on a
+      // millionth-and-a-half, where `round(double, 6)` is
+      // engine-dependent — the sf10 board caught nation 11's rank
+      // 33492/64000 = EXACTLY 0.5233125 (same class as t04's r14 catch).
+      // Both are computed as exact integer round-half-up instead;
+      // the ORDER BY is unique (acctbal, custkey), so rank() == the
+      // built-ins' row ordering and the rationals are well-defined.
       val w = Window.partitionBy("c_nationkey")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wp = Window.partitionBy("c_nationkey")
       t(s, dir, "customer")
         .select(col("c_nationkey"), col("c_custkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          rank().over(w).cast("long").as("r"),
+          count(lit(1)).over(wp).as("n"))
+        .withColumn("pct_rank",
+          when(col("n") === 1L, lit(0.0)).otherwise(
+            expr("(2000000*(r-1) + (n-1)) div (2*(n-1))") / 1000000.0))
+        .withColumn("cume", expr("(2000000*r + n) div (2*n)") / 1000000.0)
         .filter(col("c_custkey") % 10 === 0)
+        .select("c_nationkey", "c_custkey", "quartile", "pct_rank", "cume")
         .orderBy("c_nationkey", "c_custkey")
     },
     Some("""
-      SELECT c_nationkey, c_custkey,
-             ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cume
-      FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
-      QUALIFY c_custkey % 10 = 0
+      WITH rk AS (
+        SELECT c_nationkey, c_custkey,
+               ntile(4) OVER w AS quartile,
+               rank() OVER w AS r,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      SELECT c_nationkey, c_custkey, quartile,
+             CASE WHEN n = 1 THEN 0.0
+                  ELSE ((2000000*(r-1) + (n-1)) // (2*(n-1))) / 1000000.0
+             END AS pct_rank,
+             ((2000000*r + n) // (2*n)) / 1000000.0 AS cume
+      FROM rk
+      WHERE c_custkey % 10 = 0
       ORDER BY c_nationkey, c_custkey"""))
 
   // ---------------------------------------------------------------- q34

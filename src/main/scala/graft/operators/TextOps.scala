@@ -327,7 +327,12 @@ object TextOps {
           lit(3000L) * (col("n") - col("st")) * col("lt") +
           lit(2000L) * col("al") * col("n"))
       .withColumn("n_tokens", col("n"))
-      .withColumn("quality", expr("(2*num + n*lt) div (2*n*lt)") / 10000.0)
+      // qk = the quality in exact 1e-4 integer units; downstream
+      // averages round in integer space off this column (avg of k/10⁴
+      // values is itself an integer rational Σqk/n — the same knife
+      // edge), quality = the user-facing double
+      .withColumn("qk", expr("(2*num + n*lt) div (2*n*lt)"))
+      .withColumn("quality", col("qk") / 10000.0)
 
   val t09 = Q("t09_quality_deciles",
     (s, dir) => {
@@ -336,8 +341,10 @@ object TextOps {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("quality").desc, col("doc_id"))))
         .groupBy("decile")
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg("quality"), 4).as("avg_quality"))
+        .agg(count(lit(1)).as("n_docs"), sum("qk").as("sq"))
+        .withColumn("avg_quality",
+          expr("(2*sq + n_docs) div (2*n_docs)") / 10000.0)
+        .select(col("decile"), col("n_docs"), col("avg_quality"))
         .orderBy("decile")
     },
     Some("""
@@ -353,14 +360,14 @@ object TextOps {
         SELECT doc_id,
                ((2*(least(5000, 100*n_tokens)*n_tokens*lt
                     + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
-                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
+                 + n_tokens*lt) // (2*n_tokens*lt)) AS qk
         FROM t),
       ranked AS (
-        SELECT quality,
-               ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        SELECT qk,
+               ntile(10) OVER (ORDER BY qk DESC, doc_id) AS decile
         FROM scored)
       SELECT decile, count(*) AS n_docs,
-             round(avg(quality), 4) AS avg_quality
+             ((2*sum(qk) + count(*)) // (2*count(*))) / 10000.0 AS avg_quality
       FROM ranked
       GROUP BY decile
       ORDER BY decile"""))
@@ -511,8 +518,10 @@ object TextOps {
       .withColumn("decile",
         (lit(10) - size(expr("filter(cuts, c -> c < quality)"))).cast("long"))
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg("quality"), 4).as("avg_quality"))
+      .agg(count(lit(1)).as("n_docs"), sum("qk").as("sq"))
+      .withColumn("avg_quality",
+        expr("(2*sq + n_docs) div (2*n_docs)") / 10000.0)
+      .select(col("decile"), col("n_docs"), col("avg_quality"))
       .orderBy("decile")
   }
 
@@ -531,24 +540,26 @@ object TextOps {
         SELECT doc_id,
                ((2*(least(5000, 100*n_tokens)*n_tokens*lt
                     + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
-                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
+                 + n_tokens*lt) // (2*n_tokens*lt)) AS qk
         FROM t),
       ranked AS (
-        SELECT quality, row_number() OVER (ORDER BY quality) AS rk FROM scored),
+        SELECT qk, row_number() OVER (ORDER BY qk) AS rk FROM scored),
       cnt AS (SELECT count(*) AS n FROM scored),
       -- exact-accuracy approx_percentile returns the ascending element at
       -- 1-based rank ceil(p*N); replicate that selection rank-for-rank
+      -- (cut comparison in integer qk space — quality = qk/10⁴ is
+      -- monotone, so the buckets are identical)
       cuts AS (
-        SELECT r.quality AS c
+        SELECT r.qk AS c
         FROM ranked r, cnt,
              (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p) ps
         WHERE r.rk = CAST(ceil(p * n) AS BIGINT)),
       bucketed AS (
-        SELECT s.doc_id, s.quality,
-               10 - (SELECT count(*) FROM cuts WHERE c < s.quality) AS decile
+        SELECT s.doc_id, s.qk,
+               10 - (SELECT count(*) FROM cuts WHERE c < s.qk) AS decile
         FROM scored s)
       SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
-             round(avg(quality), 4) AS avg_quality
+             ((2*sum(qk) + count(*)) // (2*count(*))) / 10000.0 AS avg_quality
       FROM bucketed
       GROUP BY decile
       ORDER BY decile"""))
@@ -644,14 +655,20 @@ object TextOps {
         max(when(col("k") === 2, col("c"))).as("top2"),
         sum(when(col("k") === 3, col("c"))).as("tot3"),
         count(when(col("k") === 3, lit(1))).as("dist3"))
+      // the gram ratios are INTEGER rationals with per-doc denominators
+      // (e.g. 1 − 31/32 = exactly 0.03125, a 4-decimal half) — exact
+      // integer round-half-up (the q33/t04 knife-edge class, r14)
       docs(s, dir).select("doc_id").join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(coalesce(lit(1.0) - col("dist2").cast("double") / col("tot2"),
-            lit(0.0)), 4).as("dup2_frac"),
-          round(coalesce(col("top2").cast("double") / col("tot2"),
-            lit(0.0)), 4).as("top2_share"),
-          round(coalesce(lit(1.0) - col("dist3").cast("double") / col("tot3"),
-            lit(0.0)), 4).as("dup3_frac"))
+          coalesce(
+            expr("(20000*(tot2 - dist2) + tot2) div (2*tot2)") / 10000.0,
+            lit(0.0)).as("dup2_frac"),
+          coalesce(
+            expr("(20000*top2 + tot2) div (2*tot2)") / 10000.0,
+            lit(0.0)).as("top2_share"),
+          coalesce(
+            expr("(20000*(tot3 - dist3) + tot3) div (2*tot3)") / 10000.0,
+            lit(0.0)).as("dup3_frac"))
         .withColumn("keep",
           col("dup2_frac") <= 0.6 && col("dup3_frac") <= 0.4 &&
             col("top2_share") <= 0.1)
@@ -681,9 +698,12 @@ object TextOps {
         FROM c GROUP BY doc_id),
       f AS (
         SELECT d.doc_id,
-               round(coalesce(1.0 - dist2 * 1.0 / tot2, 0), 4) AS dup2_frac,
-               round(coalesce(top2 * 1.0 / tot2, 0), 4) AS top2_share,
-               round(coalesce(1.0 - dist3 * 1.0 / tot3, 0), 4) AS dup3_frac
+               coalesce(((20000*(tot2 - dist2) + tot2) // (2*tot2))
+                 / 10000.0, 0) AS dup2_frac,
+               coalesce(((20000*top2 + tot2) // (2*tot2))
+                 / 10000.0, 0) AS top2_share,
+               coalesce(((20000*(tot3 - dist3) + tot3) // (2*tot3))
+                 / 10000.0, 0) AS dup3_frac
         FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)
       SELECT doc_id, dup2_frac, top2_share, dup3_frac,
              (dup2_frac <= 0.6 AND dup3_frac <= 0.4 AND top2_share <= 0.1) AS keep
