@@ -543,27 +543,44 @@ object Relational {
       ORDER BY l_linestatus"""))
 
   // ---------------------------------------------------------------- q26
-  /** Distinct-count + percentile-sketch profile, fully oracled.
+  /** Distinct-count + exact-median profile, fully oracled.
     *
     * Two deterministic halves: exact `count(distinct)` (plain SQL on both
-    * engines), and `approx_percentile` run at an accuracy above the group
-    * size — the Greenwald-Khanna sketch is then exact and returns the
-    * ascending element at 1-based rank ceil(p·N), which the DuckDB oracle
-    * replicates with a per-group row_number selection (same technique as
-    * t14). The HLL++ `approx_count_distinct` variant of this query is
-    * engine-specific by construction and stays pinned by tolerance bounds
-    * in ApproxAndIvfSpec instead; at 100 TB that sketch (or a lower
-    * percentile accuracy) is what replaces the exact distinct's full
-    * key-space shuffle. */
+    * engines), and the per-group EXACT median as a value-grid rank
+    * selection — the element at 1-based ascending rank ceil(N/2), which
+    * the DuckDB oracle replicates with a per-group row_number selection.
+    * The median is computed scalably: per-(flag, price) counts (one
+    * partial-aggregated shuffle whose size is the VALUE GRID, not the
+    * data), a cumulative count over each flag's sorted distinct prices,
+    * and the smallest price whose cumulative count reaches the rank.
+    * This replaced `approx_percentile(…, 10⁷)` in r14: that sketch is
+    * exact only while groups stay under the accuracy (its rank error
+    * n/10⁷ crosses 1 row just past sf10 group sizes — a latent hash
+    * break), and its O(1/ε) buffer made q26 the worst superlinear row
+    * of the sf10 board (20.4× at 10× data). The grid selection is exact
+    * at EVERY scale and its window is bounded by the price grid. The
+    * HLL++ `approx_count_distinct` / bounded-accuracy sketch variants
+    * stay pinned by tolerance bounds in ApproxAndIvfSpec; at 100 TB
+    * those are what replace the exact distinct's full key-space
+    * shuffle. */
   val q26 = Q("q26_approx_aggs",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_orderkey")).as("n_orders"),
           countDistinct(col("l_partkey")).as("n_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000000)").as("median_price"))
-        .orderBy("l_returnflag"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val med = li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .join(counts.select(col("l_returnflag"), col("n")), "l_returnflag")
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
+      counts.drop("n").join(med, "l_returnflag").orderBy("l_returnflag")
+    },
     Some("""
       WITH ranked AS (
         SELECT l_returnflag, l_extendedprice,
