@@ -20,25 +20,30 @@ object Session {
   private def master: String =
     sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
 
+  /** The JDK17 module opens a forked JVM (executor or fault-injection
+    * victim) needs for Spark 4 — ONE list, consumed here and by
+    * FaultInject, so a future Spark upgrade adds a module in one place. */
+  private[graft] val executorAddOpens: String =
+    Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
+
+  /** Classpath a forked JVM needs: this build's classes + Spark jars. */
+  private[graft] def executorCp: String = Seq(
+    s"${System.getProperty("user.dir")}/target/scala-2.13/classes",
+    s"${System.getProperty("user.dir")}/src/main/resources",
+    "/opt/spark/jars/*").mkString(":")
+
   private def withClusterExecutorConfs(
       b: SparkSession.Builder): SparkSession.Builder =
     if (!master.startsWith("local-cluster")) b
-    else {
-      val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-        "java.io", "java.net", "java.nio", "java.util",
-        "java.util.concurrent", "java.util.concurrent.atomic",
-        "sun.nio.ch", "sun.nio.cs", "sun.security.action",
-        "sun.util.calendar")
-        .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
-      val cp = Seq(
-        s"${System.getProperty("user.dir")}/target/scala-2.13/classes",
-        s"${System.getProperty("user.dir")}/src/main/resources",
-        "/opt/spark/jars/*").mkString(":")
-      b.config("spark.executor.memory",
+    else b.config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
-        .config("spark.executor.extraClassPath", cp)
-        .config("spark.executor.extraJavaOptions", addOpens)
-    }
+      .config("spark.executor.extraClassPath", executorCp)
+      .config("spark.executor.extraJavaOptions", executorAddOpens)
 
   def builder(appName: String): SparkSession.Builder =
     withClusterExecutorConfs(SparkSession.builder())

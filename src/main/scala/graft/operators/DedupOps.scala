@@ -1755,21 +1755,8 @@ object DedupOps {
         sharedPairGraph(s, dir).select("doc_a", "doc_b"),
         symAdj = Some(sharedAdjacency(s, dir)))
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
-      val quality = Tables.df(s, dir, "documents")
-        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("st",
-          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
-            .cast("long"))
-        .withColumn("al",
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-        .withColumn("lt", length(col("text")).cast("long"))
-        .withColumn("num",
-          least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
-            lit(3000L) * (col("n") - col("st")) * col("lt") +
-            lit(2000L) * col("al") * col("n"))
-        .select(col("doc_id"),
-          (expr("(2*num + n*lt) div (2*n*lt)") / 10000.0).as("quality"))
+      val quality = TextOps.withQualityQk(Tables.df(s, dir, "documents"))
+        .select(col("doc_id"), (col("qk") / 10000.0).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
       cc.join(quality, "doc_id")
@@ -1780,7 +1767,7 @@ object DedupOps {
           max(when(col("rn") === 1, col("quality"))).as("kept_quality"))
         .orderBy("cluster_id")
     },
-    Some("""
+    Some(s"""
       WITH RECURSIVE w AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
@@ -1803,18 +1790,8 @@ object DedupOps {
         FROM walk
         GROUP BY node),
       q AS (
-        SELECT doc_id,
-               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
-                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
-                 + n_tokens*lt) // (2*n_tokens*lt)) / 10000.0 AS quality
-        FROM (
-          SELECT doc_id, text,
-                 len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
-                 len(list_filter(string_split(text,' '),
-                     x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-                 length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
-                 length(text) AS lt
-          FROM documents)),
+        SELECT doc_id, ${TextOps.qkDuck} / 10000.0 AS quality
+        FROM (${TextOps.qkCteDuck})),
       ranked AS (
         SELECT cc.cluster_id, cc.doc_id, q.quality,
                row_number() OVER (PARTITION BY cc.cluster_id

@@ -100,20 +100,19 @@ object EventOps {
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sk"))
         .withColumn("avg_k",
           when(col("n_with_k") === 0L, lit(null).cast("double"))
-            .otherwise(expr("(20000*sk + n_with_k) div (2*n_with_k)")
-              / 10000.0))
+            .otherwise(expr(ExactRound.spark("sk", "n_with_k", 4))))
         .select(col("event_type"), col("n_with_k"), col("avg_k"))
         .orderBy("event_type"),
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT event_type,
-               count(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_with_k,
-               sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sk
+               count(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS n_with_k,
+               sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sk
         FROM events
         GROUP BY event_type)
       SELECT event_type, n_with_k,
              CASE WHEN n_with_k = 0 THEN NULL
-                  ELSE ((20000*sk + n_with_k) // (2*n_with_k)) / 10000.0
+                  ELSE ${ExactRound.duck("sk", "n_with_k", 4)}
              END AS avg_k
       FROM t
       ORDER BY event_type"""))
@@ -142,12 +141,11 @@ object EventOps {
         .withColumn("avg_convert_sec",
           when(col("n_converted") === 0L, lit(null).cast("double"))
             .otherwise(expr(
-              "(2*sum_us + n_converted*10000) div (2*n_converted*10000)")
-              / 100.0))
+              ExactRound.spark("sum_us", "n_converted*1000000", 2))))
         .select(col("n_signup_users"), col("n_converted"),
           col("avg_convert_sec"))
     },
-    Some("""
+    Some(s"""
       WITH su AS (
         SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us
         FROM events WHERE event_type = 'signup' GROUP BY user_id),
@@ -158,11 +156,9 @@ object EventOps {
              count(CASE WHEN pu_us > su_us THEN 1 END) AS n_converted,
              CASE WHEN count(CASE WHEN pu_us > su_us THEN 1 END) = 0
                   THEN NULL
-                  ELSE ((2*sum(CASE WHEN pu_us > su_us
-                                    THEN pu_us - su_us END)
-                         + count(CASE WHEN pu_us > su_us THEN 1 END)*10000)
-                        // (2*count(CASE WHEN pu_us > su_us THEN 1 END)*10000))
-                       / 100.0
+                  ELSE ${ExactRound.duck(
+                    "sum(CASE WHEN pu_us > su_us THEN pu_us - su_us END)",
+                    "count(CASE WHEN pu_us > su_us THEN 1 END)*1000000", 2)}
              END AS avg_convert_sec
       FROM su LEFT JOIN pu USING (user_id)"""))
 
@@ -924,11 +920,10 @@ object EventOps {
         // engine-dependent (the q33/t04 class, r14): exact integer
         // round-half-up instead
         .withColumn("rate",
-          expr("(2000000*retained + cohort_size) div (2*cohort_size)")
-            / 1000000.0)
+          expr(ExactRound.spark("retained", "cohort_size", 6)))
         .orderBy("day_s")
     },
-    Some("""
+    Some(s"""
       WITH days AS (
         SELECT DISTINCT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE),
                                  '%Y-%m-%d') AS day_s, user_id
@@ -943,8 +938,7 @@ object EventOps {
         FROM days d LEFT JOIN cohort c ON d.user_id = c.user_id
         GROUP BY d.day_s)
       SELECT day_s, retained, cohort_size,
-             ((2000000*retained + cohort_size) // (2*cohort_size))
-               / 1000000.0 AS rate
+             ${ExactRound.duck("retained", "cohort_size", 6)} AS rate
       FROM counts
       ORDER BY day_s"""))
 

@@ -70,11 +70,11 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"))
         .withColumn("avg_tokens",
-          expr("(200*total_tokens + n_docs) div (2*n_docs)") / 100.0)
+          expr(ExactRound.spark("total_tokens", "n_docs", 2)))
         .select(col("lang"), col("n_docs"), col("total_tokens"),
           col("avg_tokens"))
         .orderBy("lang"),
-    Some("""
+    Some(s"""
       WITH RECURSIVE f AS (
         SELECT doc_id, text, lang,
                len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -112,7 +112,7 @@ object PipelineOps {
         SELECT * FROM dq WHERE doc_id NOT IN (SELECT node FROM drops))
       SELECT lang, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             ((200*sum(n_tokens) + count(*)) // (2*count(*))) / 100.0
+             ${ExactRound.duck("sum(n_tokens)", "count(*)", 2)}
                AS avg_tokens
       FROM kept
       GROUP BY lang
@@ -147,16 +147,15 @@ object PipelineOps {
         // Σtokens / Σtokens) — exact integer round-half-up (the
         // q33/t04 knife-edge class, r14)
         .withColumn("mean_tokens",
-          expr("(20000*tokens + n_docs) div (2*n_docs)") / 10000.0)
+          expr(ExactRound.spark("tokens", "n_docs", 4)))
         .withColumn("all_tokens", sum("tokens").over(w))
         .withColumn("pct_tokens",
-          expr("(2000000*tokens + all_tokens) div (2*all_tokens)")
-            / 1000000.0)
+          expr(ExactRound.spark("tokens", "all_tokens", 6)))
         .select("source", "lang", "n_docs", "tokens", "min_tokens",
           "max_tokens", "mean_tokens", "pct_tokens")
         .orderBy("source", "lang")
     },
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT source, lang,
                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
@@ -168,10 +167,9 @@ object PipelineOps {
                CAST(max(n_tokens) AS BIGINT) AS max_tokens
         FROM t GROUP BY 1, 2)
       SELECT source, lang, n_docs, tokens, min_tokens, max_tokens,
-             ((20000*tokens + n_docs) // (2*n_docs)) / 10000.0
-               AS mean_tokens,
-             ((2000000*tokens + sum(tokens) OVER ())
-               // (2*sum(tokens) OVER ())) / 1000000.0 AS pct_tokens
+             ${ExactRound.duck("tokens", "n_docs", 4)} AS mean_tokens,
+             ${ExactRound.duck("tokens", "sum(tokens) OVER ()", 6)}
+               AS pct_tokens
       FROM g
       ORDER BY source, lang"""))
 

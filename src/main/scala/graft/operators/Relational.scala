@@ -766,13 +766,13 @@ object Relational {
           count(lit(1)).over(wp).as("n"))
         .withColumn("pct_rank",
           when(col("n") === 1L, lit(0.0)).otherwise(
-            expr("(2000000*(r-1) + (n-1)) div (2*(n-1))") / 1000000.0))
-        .withColumn("cume", expr("(2000000*r + n) div (2*n)") / 1000000.0)
+            expr(ExactRound.spark("r-1", "n-1", 6))))
+        .withColumn("cume", expr(ExactRound.spark("r", "n", 6)))
         .filter(col("c_custkey") % 10 === 0)
         .select("c_nationkey", "c_custkey", "quartile", "pct_rank", "cume")
         .orderBy("c_nationkey", "c_custkey")
     },
-    Some("""
+    Some(s"""
       WITH rk AS (
         SELECT c_nationkey, c_custkey,
                ntile(4) OVER w AS quartile,
@@ -782,9 +782,9 @@ object Relational {
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
       SELECT c_nationkey, c_custkey, quartile,
              CASE WHEN n = 1 THEN 0.0
-                  ELSE ((2000000*(r-1) + (n-1)) // (2*(n-1))) / 1000000.0
+                  ELSE ${ExactRound.duck("r-1", "n-1", 6)}
              END AS pct_rank,
-             ((2000000*r + n) // (2*n)) / 1000000.0 AS cume
+             ${ExactRound.duck("r", "n", 6)} AS cume
       FROM rk
       WHERE c_custkey % 10 = 0
       ORDER BY c_nationkey, c_custkey"""))

@@ -32,6 +32,49 @@ object TextOps {
   private val tokensExpr: Column =
     expr("filter(split(text, ' '), x -> x != '')")
 
+  /** THE quality score, one definition for every consumer (t04, the
+    * t09/t14 deciles, d15's winner ordering): adds the integer `qk` —
+    * the score in exact 10⁻⁴ units, `round_half_up(10⁴·num/(n·lt))` —
+    * plus its ingredient columns n/st/al/lt/num to a documents frame.
+    * Exact integer arithmetic because the score rational can land
+    * exactly on a ten-thousandth-and-a-half, where `round(double, 4)`
+    * is engine-dependent (BASELINE.md R14.2). qk's direct form is safe
+    * here because its operands are PER-DOC bounded (num ≤ ~10⁴·n·lt ≤
+    * 10¹³ for a 100k-char doc); data-sized numerators (sums over the
+    * corpus) must go through [[ExactRound]] instead. */
+  private[operators] def withQualityQk(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokensExpr)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("st",
+        size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
+          .cast("long"))
+      .withColumn("al",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("lt", length(col("text")).cast("long"))
+      .withColumn("num",
+        least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
+          lit(3000L) * (col("n") - col("st")) * col("lt") +
+          lit(2000L) * col("al") * col("n"))
+      .withColumn("qk", expr("(2*num + n*lt) div (2*n*lt)"))
+
+  /** The same score's DuckDB ingredients: a CTE body over `documents`
+    * producing (doc_id, text, n_tokens, n_stop, n_alpha, lt)… */
+  private[operators] val qkCteDuck: String =
+    """SELECT doc_id, text,
+      |       len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+      |       len(list_filter(string_split(text,' '),
+      |           x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+      |       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+      |       length(text) AS lt
+      |FROM documents""".stripMargin
+
+  /** …and the integer qk over those columns — byte-identical semantics
+    * to [[withQualityQk]]'s `qk`. */
+  private[operators] val qkDuck: String =
+    "((2*(least(5000, 100*n_tokens)*n_tokens*lt" +
+      " + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)" +
+      " + n_tokens*lt) // (2*n_tokens*lt))"
+
   // ---------------------------------------------------------------- t01
   /** WordCount, declarative: explode → count → top-100. */
   val t01 = Q("t01_wordcount",
@@ -129,42 +172,20 @@ object TextOps {
     * long: num ≤ 5000·n_tokens·n_chars ≈ 5·10¹² at a 10⁵-char doc. */
   val t04 = Q("t04_quality_score",
     (s, dir) =>
-      docs(s, dir)
-        .withColumn("toks", tokensExpr)
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("st",
-          size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
-            .cast("long"))
-        .withColumn("al",
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-        .withColumn("lt", length(col("text")).cast("long"))
-        // quality = min(1, n/50)·0.5 + (1 − st/n)·0.3 + (al/lt)·0.2,
-        // as the exact rational num/(n·lt) scaled by 10⁴
-        .withColumn("num",
-          least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
-            lit(3000L) * (col("n") - col("st")) * col("lt") +
-            lit(2000L) * col("al") * col("n"))
+      withQualityQk(docs(s, dir))
         .select(
           col("doc_id"),
           col("n").as("n_tokens"),
-          (expr("(2*10000*st + n) div (2*n)") / 10000.0).as("stop_ratio"),
-          (expr("(2*10000*al + lt) div (2*lt)") / 10000.0).as("alpha_ratio"),
-          (expr("(2*num + n*lt) div (2*n*lt)") / 10000.0).as("quality"))
+          expr(ExactRound.spark("st", "n", 4)).as("stop_ratio"),
+          expr(ExactRound.spark("al", "lt", 4)).as("alpha_ratio"),
+          (col("qk") / 10000.0).as("quality"))
         .orderBy("doc_id"),
-    Some("""
-      WITH t AS (
-        SELECT doc_id,
-               len(list_filter(string_split(text,' '), x -> x <> '')) AS n,
-               len(list_filter(string_split(text,' '),
-                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS st,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS al,
-               length(text) AS lt
-        FROM documents)
-      SELECT doc_id, n AS n_tokens,
-             ((2*10000*st + n) // (2*n)) / 10000.0 AS stop_ratio,
-             ((2*10000*al + lt) // (2*lt)) / 10000.0 AS alpha_ratio,
-             ((2*(least(5000, 100*n)*n*lt + 3000*(n-st)*lt + 2000*al*n)
-               + n*lt) // (2*n*lt)) / 10000.0 AS quality
+    Some(s"""
+      WITH t AS ($qkCteDuck)
+      SELECT doc_id, n_tokens,
+             ${ExactRound.duck("n_stop", "n_tokens", 4)} AS stop_ratio,
+             ${ExactRound.duck("n_alpha", "lt", 4)} AS alpha_ratio,
+             $qkDuck / 10000.0 AS quality
       FROM t
       ORDER BY doc_id"""))
 
@@ -313,25 +334,11 @@ object TextOps {
     * engine-dependent — here that knife edge would silently flip a
     * doc's decile, not just its 4th decimal. */
   private def qualityScored(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("toks", tokensExpr)
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("st",
-        size(expr("filter(toks, x -> x in ('the','a','of','and','to','in','is','on'))"))
-          .cast("long"))
-      .withColumn("al",
-        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-      .withColumn("lt", length(col("text")).cast("long"))
-      .withColumn("num",
-        least(lit(5000L), lit(100L) * col("n")) * col("n") * col("lt") +
-          lit(3000L) * (col("n") - col("st")) * col("lt") +
-          lit(2000L) * col("al") * col("n"))
+    withQualityQk(docs(s, dir))
       .withColumn("n_tokens", col("n"))
-      // qk = the quality in exact 1e-4 integer units; downstream
-      // averages round in integer space off this column (avg of k/10⁴
+      // downstream averages round in integer space off qk (avg of k/10⁴
       // values is itself an integer rational Σqk/n — the same knife
-      // edge), quality = the user-facing double
-      .withColumn("qk", expr("(2*num + n*lt) div (2*n*lt)"))
+      // edge); quality = the user-facing double
       .withColumn("quality", col("qk") / 10000.0)
 
   val t09 = Q("t09_quality_deciles",
@@ -343,31 +350,19 @@ object TextOps {
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum("qk").as("sq"))
         .withColumn("avg_quality",
-          expr("(2*sq + n_docs) div (2*n_docs)") / 10000.0)
+          expr(ExactRound.unitMeanSpark("sq", "n_docs", 4)))
         .select(col("decile"), col("n_docs"), col("avg_quality"))
         .orderBy("decile")
     },
-    Some("""
-      WITH t AS (
-        SELECT doc_id, text,
-               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
-               len(list_filter(string_split(text,' '),
-                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
-               length(text) AS lt
-        FROM documents),
-      scored AS (
-        SELECT doc_id,
-               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
-                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
-                 + n_tokens*lt) // (2*n_tokens*lt)) AS qk
-        FROM t),
+    Some(s"""
+      WITH t AS ($qkCteDuck),
+      scored AS (SELECT doc_id, $qkDuck AS qk FROM t),
       ranked AS (
         SELECT qk,
                ntile(10) OVER (ORDER BY qk DESC, doc_id) AS decile
         FROM scored)
       SELECT decile, count(*) AS n_docs,
-             ((2*sum(qk) + count(*)) // (2*count(*))) / 10000.0 AS avg_quality
+             ${ExactRound.unitMeanDuck("sum(qk)", "count(*)", 4)} AS avg_quality
       FROM ranked
       GROUP BY decile
       ORDER BY decile"""))
@@ -496,23 +491,38 @@ object TextOps {
 
   // ---------------------------------------------------------------- t14
   /** Bucket a scored corpus into value-cutpoint deciles WITHOUT a global
-    * sort: cutpoints come from `approx_percentile` (a partial-aggregatable
-    * Greenwald-Khanna sketch — scan + one tiny final merge), broadcast as
-    * a single row, and bucket assignment is a scan-local 9-element
-    * comparison. This is the 100 TB twin of t09's exact `ntile(10)`
-    * (one range-partitioned TOTAL sort): same curriculum split, no stage
-    * whose size scales with the corpus. Buckets are value-based, so ties
-    * at a cutpoint all land in the lower decile and bucket sizes are only
-    * ~N/10 (ntile splits ties arbitrarily to force exact sizes);
-    * TopKAggSpec bounds that skew against the exact split.
+    * sort: cutpoints are the ascending-rank `ceil(p·N)` elements selected
+    * EXACTLY over the bounded integer score grid — a per-qk count (one
+    * partial-aggregated shuffle whose size is the GRID, ≤ ~10⁴ distinct
+    * scores, not the corpus), a cumulative count over that grid (a
+    * bounded single-partition window — deliberate), and a 9-element cut
+    * array broadcast back over the scan. This is the 100 TB twin of
+    * t09's exact `ntile(10)` (one range-partitioned TOTAL sort): same
+    * curriculum split, no stage whose size scales with the corpus.
+    * Buckets are value-based, so ties at a cutpoint all land in the
+    * lower decile and bucket sizes are only ~N/10 (ntile splits ties
+    * arbitrarily to force exact sizes); TopKAggSpec bounds that skew
+    * against the exact split.
     *
-    * `accuracy` trades sketch size for rank error (ε = 1/accuracy); at
-    * accuracy > N the sketch is exact and returns the ascending-rank
-    * `ceil(p·N)` element, which is what the DuckDB oracle replicates. */
-  def qualityDecilesApprox(scored: DataFrame, accuracy: Int = 10000000): DataFrame = {
-    val cuts = scored.agg(
-      percentile_approx(col("quality"),
-        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(accuracy)).as("cuts"))
+    * r14: this replaced accuracy-10⁷ `approx_percentile`, which was
+    * exact only under 10⁷ docs (the q26 latent-break class — its rank
+    * error n/10⁷ crosses whole ranks past that) and carries an O(1/ε)
+    * sketch buffer. Rank selection over a BOUNDED score grid needs no
+    * sketch at all and is exact at every corpus size. Rank arithmetic
+    * is integer on both engines: `ceil(i·n/10) = (i·n + 9) div 10`. */
+  def qualityDecilesApprox(scored: DataFrame): DataFrame = {
+    val wq = Window.orderBy("qk")
+    val cuts = scored.groupBy("qk").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wq))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .select(col("qk"), col("c"), col("cum"), col("n"),
+        explode(expr("sequence(1, 9)")).as("i"))
+      .filter(col("cum") - col("c") < expr("(i*n + 9) div 10") &&
+        expr("(i*n + 9) div 10") <= col("cum"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("i"),
+        (col("qk") / 10000.0).as("cq")))).as("sc"))
+      .select(expr("transform(sc, x -> x.cq)").as("cuts"))
     scored
       .crossJoin(broadcast(cuts)) // 1-row scalar, t07/e07 pattern
       .withColumn("decile",
@@ -520,46 +530,35 @@ object TextOps {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("qk").as("sq"))
       .withColumn("avg_quality",
-        expr("(2*sq + n_docs) div (2*n_docs)") / 10000.0)
+        expr(ExactRound.unitMeanSpark("sq", "n_docs", 4)))
       .select(col("decile"), col("n_docs"), col("avg_quality"))
       .orderBy("decile")
   }
 
   val t14 = Q("t14_quality_deciles_approx",
     (s, dir) => qualityDecilesApprox(qualityScored(s, dir)),
-    Some("""
-      WITH t AS (
-        SELECT doc_id, text,
-               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
-               len(list_filter(string_split(text,' '),
-                   x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
-               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
-               length(text) AS lt
-        FROM documents),
-      scored AS (
-        SELECT doc_id,
-               ((2*(least(5000, 100*n_tokens)*n_tokens*lt
-                    + 3000*(n_tokens-n_stop)*lt + 2000*n_alpha*n_tokens)
-                 + n_tokens*lt) // (2*n_tokens*lt)) AS qk
-        FROM t),
-      ranked AS (
-        SELECT qk, row_number() OVER (ORDER BY qk) AS rk FROM scored),
-      cnt AS (SELECT count(*) AS n FROM scored),
-      -- exact-accuracy approx_percentile returns the ascending element at
-      -- 1-based rank ceil(p*N); replicate that selection rank-for-rank
-      -- (cut comparison in integer qk space — quality = qk/10⁴ is
-      -- monotone, so the buckets are identical)
+    Some(s"""
+      WITH t AS ($qkCteDuck),
+      scored AS (SELECT doc_id, $qkDuck AS qk FROM t),
+      g AS (SELECT qk, count(*) AS c FROM scored GROUP BY qk),
+      cg AS (
+        SELECT qk, c, sum(c) OVER (ORDER BY qk) AS cum,
+               sum(c) OVER () AS n
+        FROM g),
+      -- the ascending element at 1-based rank ceil(i*n/10) = (i*n+9)//10,
+      -- selected over the score grid's cumulative counts (cut comparison
+      -- in integer qk space — quality = qk/10⁴ is monotone, so the
+      -- buckets are identical)
       cuts AS (
-        SELECT r.qk AS c
-        FROM ranked r, cnt,
-             (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS p) ps
-        WHERE r.rk = CAST(ceil(p * n) AS BIGINT)),
+        SELECT cg.qk AS c
+        FROM cg, (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i) ps
+        WHERE cum - cg.c < (i*n + 9) // 10 AND (i*n + 9) // 10 <= cum),
       bucketed AS (
         SELECT s.doc_id, s.qk,
                10 - (SELECT count(*) FROM cuts WHERE c < s.qk) AS decile
         FROM scored s)
       SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
-             ((2*sum(qk) + count(*)) // (2*count(*))) / 10000.0 AS avg_quality
+             ${ExactRound.unitMeanDuck("sum(qk)", "count(*)", 4)} AS avg_quality
       FROM bucketed
       GROUP BY decile
       ORDER BY decile"""))
@@ -660,21 +659,18 @@ object TextOps {
       // integer round-half-up (the q33/t04 knife-edge class, r14)
       docs(s, dir).select("doc_id").join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(
-            expr("(20000*(tot2 - dist2) + tot2) div (2*tot2)") / 10000.0,
+          coalesce(expr(ExactRound.spark("tot2 - dist2", "tot2", 4)),
             lit(0.0)).as("dup2_frac"),
-          coalesce(
-            expr("(20000*top2 + tot2) div (2*tot2)") / 10000.0,
+          coalesce(expr(ExactRound.spark("top2", "tot2", 4)),
             lit(0.0)).as("top2_share"),
-          coalesce(
-            expr("(20000*(tot3 - dist3) + tot3) div (2*tot3)") / 10000.0,
+          coalesce(expr(ExactRound.spark("tot3 - dist3", "tot3", 4)),
             lit(0.0)).as("dup3_frac"))
         .withColumn("keep",
           col("dup2_frac") <= 0.6 && col("dup3_frac") <= 0.4 &&
             col("top2_share") <= 0.1)
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
         FROM documents),
@@ -698,12 +694,12 @@ object TextOps {
         FROM c GROUP BY doc_id),
       f AS (
         SELECT d.doc_id,
-               coalesce(((20000*(tot2 - dist2) + tot2) // (2*tot2))
-                 / 10000.0, 0) AS dup2_frac,
-               coalesce(((20000*top2 + tot2) // (2*tot2))
-                 / 10000.0, 0) AS top2_share,
-               coalesce(((20000*(tot3 - dist3) + tot3) // (2*tot3))
-                 / 10000.0, 0) AS dup3_frac
+               coalesce(${ExactRound.duck("tot2 - dist2", "tot2", 4)}, 0)
+                 AS dup2_frac,
+               coalesce(${ExactRound.duck("top2", "tot2", 4)}, 0)
+                 AS top2_share,
+               coalesce(${ExactRound.duck("tot3 - dist3", "tot3", 4)}, 0)
+                 AS dup3_frac
         FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id)
       SELECT doc_id, dup2_frac, top2_share, dup3_frac,
              (dup2_frac <= 0.6 AND dup3_frac <= 0.4 AND top2_share <= 0.1) AS keep

@@ -75,18 +75,27 @@ object FaultInject {
     case other                => batchMode(other.contains("salted"))
   }
 
-  /** JDK17 module opens + classpath an executor (or forked victim) JVM
-    * needs — the same set tools/run.sh passes the driver. */
-  private val addOpensList = Seq("java.lang", "java.lang.invoke",
-    "java.lang.reflect", "java.io", "java.net", "java.nio", "java.util",
-    "java.util.concurrent", "java.util.concurrent.atomic",
-    "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
-  private def addOpens: String = addOpensList
-    .map(p => s"--add-opens java.base/$p=ALL-UNNAMED").mkString(" ")
-  private def cp: String = Seq(
-    s"${System.getProperty("user.dir")}/target/scala-2.13/classes",
-    s"${System.getProperty("user.dir")}/src/main/resources",
-    "/opt/spark/jars/*").mkString(":")
+  /** JDK17 module opens + classpath a forked JVM needs — shared with
+    * [[graft.Session]]'s local-cluster wiring (one list to update on a
+    * Spark upgrade, r14 review finding #5). */
+  private def addOpens: String = Session.executorAddOpens
+  private def cp: String = Session.executorCp
+
+  /** An executor JVM of THIS application, found by pid: comm must be
+    * `java` (a bare `pgrep -f` also matches this tool's bash wrapper,
+    * whose cmdline contains the pattern — first flaky run killed pid
+    * 354, a non-executor) and the cmdline must carry this app's
+    * `--app-id`, so a second Spark app on the box can never lose an
+    * executor to this tool. ONE definition for both kill modes (r14
+    * review finding #4). */
+  private def executorPidOf(appId: String): String =
+    try Seq("bash", "-c",
+      "for p in $(pgrep -f CoarseGrainedExecutorBackend); do " +
+        "[ \"$(cat /proc/$p/comm 2>/dev/null)\" = java ] " +
+        s"&& tr '\\0' ' ' < /proc/$$p/cmdline 2>/dev/null " +
+        s"| grep -q -- '$appId' " +
+        "&& echo $p && break; done").!!.trim
+    catch { case _: Throwable => "" }
 
   /** Real multi-JVM session: two 4-core 4g executor processes. */
   private def clusterSession(app: String) = {
@@ -145,21 +154,8 @@ object FaultInject {
     // fault run: SIGKILL one executor JVM once the query is mid-flight
     val removedBefore = removed.get()
     @volatile var killedPid = ""
-    // an executor JVM's comm is "java"; a bare `pgrep -f` would also
-    // match this tool's own bash wrapper, whose cmdline contains the
-    // pattern (first flaky run: killed pid 354, a non-executor). Filter
-    // by THIS application's id too — local-cluster executors carry
-    // `--app-id <appId>` on their cmdline — so a second Spark app on
-    // the box can never lose one of its executors to this tool.
     val appId = spark.sparkContext.applicationId
-    def executorPid(): String =
-      try Seq("bash", "-c",
-        "for p in $(pgrep -f CoarseGrainedExecutorBackend); do " +
-          "[ \"$(cat /proc/$p/comm 2>/dev/null)\" = java ] " +
-          s"&& tr '\\0' ' ' < /proc/$$p/cmdline 2>/dev/null " +
-          s"| grep -q -- '$appId' " +
-          "&& echo $p && break; done").!!.trim
-      catch { case _: Throwable => "" }
+    def executorPid(): String = executorPidOf(appId)
     @volatile var queryDone = false
     @volatile var killAtS = -1.0
     @volatile var killStages = ""
@@ -308,14 +304,7 @@ object FaultInject {
     genEventChunks(spark, dataDir, 2000000L, 8)
 
     val appId = spark.sparkContext.applicationId
-    def executorPid(): String =
-      try Seq("bash", "-c",
-        "for p in $(pgrep -f CoarseGrainedExecutorBackend); do " +
-          "[ \"$(cat /proc/$p/comm 2>/dev/null)\" = java ] " +
-          s"&& tr '\\0' ' ' < /proc/$$p/cmdline 2>/dev/null " +
-          s"| grep -q -- '$appId' " +
-          "&& echo $p && break; done").!!.trim
-      catch { case _: Throwable => "" }
+    def executorPid(): String = executorPidOf(appId)
 
     /** Start `sink`, optionally kill one executor once ≥2 micro-batches
       * have committed and stages are running, drain, and report
