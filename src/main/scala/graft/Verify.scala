@@ -35,10 +35,23 @@ object Verify {
     * codec stubs whose outputs are scale-invariant by construction;
     * mr01–mr03 — fixed mini-corpus inputs, no sf dependence. Run it at
     * round close via `graft.Verify <sfDir> <out> @sf01-linear` +
-    * `tools/check.py`. */
+    * `tools/check.py`. Since R14.13 this same board is the sf10 board
+    * too (every member's oracle measured ≤ 20 s in DuckDB at sf10). */
   def sf01LinearBoard: Seq[String] =
     (SparkEntry.queries.keys.toSeq.filter(n => "qetv".contains(n.head)) ++
       linearExtras).sorted
+
+  /** The sf10-numeric sub-board (r14, R14.8): the q/e/j/v families,
+    * whose DuckDB oracles are numeric scans/joins/windows. Kept as a
+    * named alias for the ledgered 82-query gate; SUPERSEDED by the full
+    * [[sf01LinearBoard]] at sf10 — the t family's exclusion rested on an
+    * unmeasured "hours in DuckDB" estimate that a per-query measurement
+    * refuted (worst t oracle at sf10: t07 tfidf 11.9 s, t16 5.1 s; the
+    * d-linear extras ≤ 20 s), so the same 110-query linear board is now
+    * hash-gated at sf0.1, sf1.0 AND sf10 (R14.13). */
+  def sf10NumericBoard: Seq[String] =
+    (SparkEntry.queries.keys.toSeq.filter(n => "qev".contains(n.head)) ++
+      linearExtras.filter(_.startsWith("j"))).sorted
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -49,6 +62,7 @@ object Verify {
       if (args.length > 2)
         Some(args.drop(2).flatMap {
           case "@sf01-linear" => sf01LinearBoard
+          case "@sf10-numeric" => sf10NumericBoard
           case n => Seq(n)
         }.toSet)
       else None
