@@ -67,10 +67,16 @@ object Verify {
         }.toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Session.builder("graft-verify")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .getOrCreate()
+    // SPARK_GRAFT_MASTER (e.g. local-cluster[4,8,4096]) routes the board
+    // through Session's multi-JVM wiring — the cross-JVM correctness
+    // receipt; default stays a right-sized in-process session.
+    val spark =
+      if (sys.env.contains("SPARK_GRAFT_MASTER"))
+        Session.builder("graft-verify").getOrCreate()
+      else Session.builder("graft-verify")
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
