@@ -53,6 +53,25 @@ object Verify {
     (SparkEntry.queries.keys.toSeq.filter(n => "qev".contains(n.head)) ++
       linearExtras.filter(_.startsWith("j"))).sorted
 
+  /** The sf100 SPOT board (R14.16): the classes most likely to break
+    * only at scale — every exact-integer-rounding site over data-sized
+    * rationals (q33/e04/e20/t04/t09/t14), the exact value-grid median
+    * (q26), the 60-bit XOR fingerprint (v05), decimal pricing (q36),
+    * regression power sums (q44) — plus one anchor per family. Spot,
+    * not board-wide: at the 21 GB fixture the box's disk (not the
+    * operators) binds — q26's first sf100 run died of shuffle spill on
+    * a 69%-full volume. Large-output members (q45-class ordered dumps)
+    * are excluded because the gate's Python-side canonicalization, not
+    * the engine, would dominate. */
+  def sf100SpotBoard: Seq[String] = Seq(
+    "q01_pricing_summary", "q18_small_quantity_revenue",
+    "q26_approx_aggs", "q33_window_ranks", "q36_decimal_pricing",
+    "q44_regression_stats", "e01_hourly_agg", "e03_props_extract",
+    "e04_funnel", "e20_bitmap_retention", "t01_wordcount",
+    "t04_quality_score", "t09_quality_deciles",
+    "t14_quality_deciles_approx", "v05_table_fingerprint",
+    "d01_exact_dedup")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: restrict to the named queries (local iteration
@@ -63,6 +82,7 @@ object Verify {
         Some(args.drop(2).flatMap {
           case "@sf01-linear" => sf01LinearBoard
           case "@sf10-numeric" => sf10NumericBoard
+          case "@sf100-spot" => sf100SpotBoard
           case n => Seq(n)
         }.toSet)
       else None

@@ -566,20 +566,28 @@ object Relational {
   val q26 = Q("q26_approx_aggs",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val counts = li.groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey")).as("n_parts"),
-          count(lit(1)).as("n"))
+      // The two exact distincts run as SEPARATE distinct→count plans,
+      // not one multi-distinct aggregate: Catalyst plans the latter via
+      // Expand (every row duplicated once per distinct group), which
+      // tripled the shuffled row count and was the disk-spill term that
+      // killed the first sf100 run. distinct() partial-aggregates
+      // map-side, so each shuffle carries at most the distinct key
+      // space of a 2-column projection.
+      def dcount(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      val counts = dcount("l_orderkey", "n_orders")
+        .join(dcount("l_partkey", "n_parts"), "l_returnflag")
+      val flagN = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val med = li.groupBy("l_returnflag", "l_extendedprice")
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(w))
-        .join(counts.select(col("l_returnflag"), col("n")), "l_returnflag")
+        .join(flagN, "l_returnflag")
         .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
           expr("(n + 1) div 2") <= col("cum"))
         .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
-      counts.drop("n").join(med, "l_returnflag").orderBy("l_returnflag")
+      counts.join(med, "l_returnflag").orderBy("l_returnflag")
     },
     Some("""
       WITH ranked AS (
