@@ -17,7 +17,16 @@ final case class Q(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** true → include in the Bench headline set (run at sf0.1). */
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Scale-feasible replacement oracle for fixtures where `oracle` is
+      * quadratic-infeasible in DuckDB (the d-kernel pair queries: the
+      * ground-truth self-join is 1.25B pairs already at sf1.0). Same
+      * output contract, different candidate scheme — a complete
+      * (pigeonhole) prefix-filter replay whose exact verify makes it
+      * equal to the ground truth at every scale. Used ONLY by the
+      * local scale boards (`SPARK_GRAFT_SCALE_ORACLES=1`); the driver's
+      * sf0.01 gate always gets the maximally-independent `oracle`. */
+    scaleOracle: Option[String] = None)
 
 object Queries {
   lazy val all: Seq[Q] =
@@ -42,4 +51,8 @@ object Queries {
 
   def oracleMap: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Scale-board oracle overrides (see [[Q.scaleOracle]]). */
+  def scaleOracleMap: Map[String, String] =
+    all.flatMap(q => q.scaleOracle.map(q.name -> _)).toMap
 }

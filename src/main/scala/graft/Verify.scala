@@ -63,6 +63,18 @@ object Verify {
     * a 69%-full volume. Large-output members (q45-class ordered dumps)
     * are excluded because the gate's Python-side canonicalization, not
     * the engine, would dominate. */
+  /** The dedup-kernel scale board (r15, verdict ask #1): the pair
+    * queries whose ground-truth oracle is quadratic-infeasible above
+    * sf0.01 but which carry a [[Q.scaleOracle]] — a complete
+    * prefix-filter replay in DuckDB (independent implementation;
+    * pigeonhole-complete candidates + exact verify ≡ ground truth at
+    * every scale). Run with SPARK_GRAFT_SCALE_ORACLES=1 so the dumped
+    * oracle_sql.json carries the replay SQL:
+    * `SPARK_GRAFT_SCALE_ORACLES=1 tools/run.sh graft.Verify <sfDir> <out>
+    * @d-kernel` + `tools/check.py`. */
+  def dKernelBoard: Seq[String] =
+    Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
+
   def sf100SpotBoard: Seq[String] = Seq(
     "q01_pricing_summary", "q18_small_quantity_revenue",
     "q26_approx_aggs", "q33_window_ranks", "q36_decimal_pricing",
@@ -83,6 +95,7 @@ object Verify {
           case "@sf01-linear" => sf01LinearBoard
           case "@sf10-numeric" => sf10NumericBoard
           case "@sf100-spot" => sf100SpotBoard
+          case "@d-kernel" => dKernelBoard
           case n => Seq(n)
         }.toSet)
       else None
@@ -123,7 +136,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // SPARK_GRAFT_SCALE_ORACLES=1 → overlay the scale-feasible replay
+    // oracles (the d-kernel pair queries) over the ground-truth SQL.
+    // Local scale boards only; the driver never sets this, so its
+    // sf0.01 gate keeps the maximally-independent quadratic oracles.
+    val oracles =
+      if (sys.env.get("SPARK_GRAFT_SCALE_ORACLES").contains("1"))
+        SparkEntry.oracleSql ++ Queries.scaleOracleMap
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -19,6 +19,18 @@ package graft.operators
   * in long (q ≤ ~4.6·10¹⁴ at k=4) — q is a count at every call site.
   * Null in p or q propagates to a null result in both engines.
   *
+  * The p ≥ 0 / q > 0 domain is ENFORCED in the emitted SQL, not just
+  * documented: Spark's integer `div` truncates toward zero while
+  * DuckDB's `//` floors, so a future call site fed a negative numerator
+  * (a signed value sum, say) would silently reopen the exact
+  * engine-divergence class this helper exists to close. Both emitters
+  * wrap the arithmetic in a CASE whose out-of-domain branch raises
+  * (`raise_error` / `error`) — loud and identical in both engines, one
+  * comparison per output row (the rounding sites are aggregate final
+  * projections or pair-stream tails; measured noise). NULL inputs skip
+  * the guard (NULL comparison → the ELSE arithmetic → NULL result),
+  * preserving the null-propagation contract above.
+  *
   * Both emitters produce the IDENTICAL arithmetic (integer div/mod, one
   * double division, one addition), so the engines agree bit-for-bit.
   */
@@ -32,10 +44,24 @@ object ExactRound {
   // every division below is written CAST(int AS DOUBLE) / int-literal —
   // otherwise the result column silently comes out DECIMAL on the Spark
   // side (caught by the board: `0.5833000` vs the oracle's `0.5833`).
+  /** Out-of-domain branch: raises in the engine named by `div` (Spark
+    * `div` ↔ `raise_error`, DuckDB `//` ↔ `error`), CAST so the CASE
+    * type-checks as DOUBLE in both. */
+  private def domainGuard(p: String, q: String, body: String,
+      div: String): String = {
+    val raise =
+      if (div == "div") "raise_error('ExactRound domain: p < 0 or q <= 0')"
+      else "error('ExactRound domain: p < 0 or q <= 0')"
+    s"(CASE WHEN ($p) < 0 OR ($q) <= 0 THEN CAST($raise AS DOUBLE) " +
+      s"ELSE $body END)"
+  }
+
   private def emit(p: String, q: String, k: Int, div: String): String = {
     val pw = pow10(k)
-    s"(CAST(($p) $div ($q) AS DOUBLE) + " +
-      s"CAST((2*(($p) % ($q))*$pw + ($q)) $div (2*($q)) AS DOUBLE) / $pw)"
+    domainGuard(p, q,
+      s"(CAST(($p) $div ($q) AS DOUBLE) + " +
+        s"CAST((2*(($p) % ($q))*$pw + ($q)) $div (2*($q)) AS DOUBLE) / $pw)",
+      div)
   }
 
   /** Spark SQL (for `expr(...)`): integer division is `div`. */
@@ -51,8 +77,10 @@ object ExactRound {
   private def emitUnitMean(p: String, q: String, k: Int,
       div: String): String = {
     val pw = pow10(k)
-    s"(CAST(((($p) $div ($q)) + ((2*(($p) % ($q)) + ($q)) $div (2*($q)))) " +
-      s"AS DOUBLE) / $pw)"
+    domainGuard(p, q,
+      s"(CAST(((($p) $div ($q)) + ((2*(($p) % ($q)) + ($q)) $div (2*($q)))) " +
+        s"AS DOUBLE) / $pw)",
+      div)
   }
 
   def unitMeanSpark(p: String, q: String, k: Int): String =

@@ -573,8 +573,14 @@ object Relational {
       // killed the first sf100 run. distinct() partial-aggregates
       // map-side, so each shuffle carries at most the distinct key
       // space of a 2-column projection.
+      // isNotNull keeps distinct→count ≡ COUNT(DISTINCT): the oracle's
+      // COUNT(DISTINCT) ignores NULL keys, while counting distinct ROWS
+      // would tally a NULL key as one group (latent only — lineitem
+      // keys are non-null — but the guard costs nothing and survives
+      // nullable inputs)
       def dcount(key: String, as: String) =
-        li.select(col("l_returnflag"), col(key)).distinct()
+        li.filter(col(key).isNotNull)
+          .select(col("l_returnflag"), col(key)).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
       val counts = dcount("l_orderkey", "n_orders")
         .join(dcount("l_partkey", "n_parts"), "l_returnflag")

@@ -242,7 +242,15 @@ object ValidateOps {
     * columns behind a canonical value encoding (IEEE bits for doubles,
     * epoch micros for timestamps) — the XOR-of-row-digests shape is
     * unchanged. 15 hex chars = 60 bits keeps the value exact in both
-    * engines' BIGINT (and safely clear of double-precision coercions). */
+    * engines' BIGINT (and safely clear of double-precision coercions).
+    *
+    * Since R14.15 the row digest is computed ONCE, before the replica's
+    * layout-changing repartition (the digest is a pure row function, so
+    * the fingerprint value is identical and a redundant full-table md5
+    * pass + 6× exchange bytes disappear). The replica row therefore
+    * attests count/bit_xor layout-invariance; digest-expression
+    * determinism across layouts is covered by v06, which keeps dual
+    * independent digest passes. */
   val v05 = Q("v05_table_fingerprint",
     (s, dir) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

@@ -23,17 +23,41 @@ import org.apache.spark.sql.functions._
   * would grow quadratically in N by construction, which says nothing
   * about how the operators scale on real data.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas] */
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> [replicas]
+  * or:    runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <replicas> heavy-docs
+  *
+  * `heavy-docs` writes ONLY the documents table, with two PLANTED
+  * heavy-hitter tokens (`hh0`/`hh1`, 4 occurrences appended per doc ≈
+  * 6.4% of all tokens each — comfortably above t24's n/(k+1) ≈ 3.2%
+  * Misra–Gries threshold at k=30). Rationale (r14 verdict ask #3): the
+  * standard replica perturbation dilutes every SOURCE token below the
+  * threshold at sf10, so t24's two-pass recut was trivially empty
+  * there — gate-green without exercising the decrement path. The
+  * planted fixture makes the sf10 cell load-bearing while leaving the
+  * shared fixtures untouched (every other documents query would see
+  * the appended tokens, so this variant is t24-only by construction). */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val heavyDocs = args.length > 3 && args(3) == "heavy-docs"
     val spark = Session.get("graft-scaleup")
-    try generate(spark, src, dst, replicas)
-    finally spark.stop()
+    try {
+      if (heavyDocs) generateHeavyDocs(spark, src, dst, replicas)
+      else generate(spark, src, dst, replicas)
+    } finally spark.stop()
   }
+
+  /** The documents-only heavy-hitter variant (see object doc). Shares
+    * the replicate/shift/perturb pipeline with [[generate]]; the only
+    * delta is the appended plant tokens (and the recomputed n_chars,
+    * which already tracks the rewritten text in the standard path). */
+  def generateHeavyDocs(spark: SparkSession, src: String, dst: String,
+      replicas: Int): Unit =
+    writeDocuments(spark, src, dst, replicas,
+      plant = Some("hh0 hh0 hh0 hh0 hh1 hh1 hh1 hh1"))
 
   def generate(spark: SparkSession, src: String, dst: String,
       replicas: Int): Unit = {
@@ -101,21 +125,45 @@ object ScaleUp {
       col("ts"), shift("user_id", strideU), col("event_type"),
       col("value"), col("props")), "events", 8)
 
-    val documents = raw("documents")
-    val strideD = stride(documents, "doc_id")
-    val perturbed = expr(
-      """concat_ws(' ', transform(split(text, ' '),
-        |  w -> CASE WHEN k > 0 AND w != ''
-        |              AND pmod(xxhash64(concat(w, ':', k)), 100) < 15
-        |            THEN concat(w, '_', k) ELSE w END))""".stripMargin)
-    save(replicate(documents).select(shift("doc_id", strideD),
-      perturbed.as("text"), col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long")),
-      "documents", 4)
+    writeDocuments(spark, src, dst, replicas, plant = None)
 
     val embeddings = raw("embeddings")
     val strideV = stride(embeddings, "vec_id")
     save(replicate(embeddings).select(shift("vec_id", strideV),
       col("embedding"), col("label")), "embeddings", 4)
+  }
+
+  /** Replicated+perturbed documents table; `plant` appends a fixed token
+    * string to every doc's text (the heavy-hitter variant). n_chars is
+    * recomputed from the final text either way. */
+  private def writeDocuments(spark: SparkSession, src: String, dst: String,
+      replicas: Int, plant: Option[String]): Unit = {
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = documents.agg(max(col("doc_id"))).head
+    require(!maxId.isNullAt(0), s"documents under $src is empty")
+    val strideD = maxId.get(0) match {
+      case l: Long => l + 1L
+      case i: Int  => i.toLong + 1L
+      case other => throw new IllegalArgumentException(
+        s"doc_id must be integral; got ${other.getClass.getSimpleName}")
+    }
+    val perturbed = expr(
+      """concat_ws(' ', transform(split(text, ' '),
+        |  w -> CASE WHEN k > 0 AND w != ''
+        |              AND pmod(xxhash64(concat(w, ':', k)), 100) < 15
+        |            THEN concat(w, '_', k) ELSE w END))""".stripMargin)
+    val text = plant match {
+      case Some(p) => concat_ws(" ", perturbed, lit(p))
+      case None    => perturbed
+    }
+    documents
+      .withColumn("k", explode(sequence(lit(0), lit(replicas - 1))))
+      .select((col("doc_id") + col("k") * strideD).as("doc_id"),
+        text.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"[scaleup] documents x$replicas written" +
+      plant.fold("")(p => s" (planted: '$p')"))
   }
 }

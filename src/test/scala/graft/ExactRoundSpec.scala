@@ -70,6 +70,33 @@ class ExactRoundSpec extends AnyFunSuite {
     assert(r.head().getDouble(0) == 0.9314)
   }
 
+  test("out-of-domain inputs raise in BOTH emitters (r14 verdict ask #6)") {
+    import spark.implicits._
+    // Spark `div` truncates toward zero, DuckDB `//` floors — a negative
+    // numerator would silently diverge between the engines, so the
+    // emitted SQL itself must refuse (not just the scaladoc).
+    Seq((-3L, 7L), (3L, 0L), (3L, -7L)).foreach { case (p, q) =>
+      val e = intercept[Exception] {
+        Seq((p, q)).toDF("p", "q")
+          .select(expr(ExactRound.spark("p", "q", 4)).as("r")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ExactRound domain")),
+        s"($p/$q) must raise the domain error, got: ${e.getMessage}")
+      val eu = intercept[Exception] {
+        Seq((p, q)).toDF("p", "q")
+          .select(expr(ExactRound.unitMeanSpark("p", "q", 4)).as("r")).collect()
+      }
+      assert(msgs(eu).exists(_.contains("ExactRound domain")))
+    }
+    // and the DuckDB emitter carries the equivalent guard text
+    assert(ExactRound.duck("p", "q", 4).contains(
+      "CASE WHEN (p) < 0 OR (q) <= 0 THEN CAST(error("))
+    // in-domain rows are untouched by the guard (whole-path sanity)
+    assert(viaSpark(29L, 32L, 4)._1 == 0.9063) // the jaccard 4-decimal half
+  }
+
   test("null inputs propagate to null, not an error") {
     import spark.implicits._
     val r = Seq((Some(3L), Option.empty[Long])).toDF("p", "q")
