@@ -557,11 +557,20 @@ object DedupOps {
       ptok AS (SELECT doc_id, n, t,
                       row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
                FROM tok JOIN df USING (t)),
-      pref AS (SELECT doc_id, n, t FROM ptok
+      pref AS (SELECT doc_id, n, t, pos FROM ptok
                WHERE pos <= n - (($tn*n + 9) // 10) + 1),
+      -- PPJoin positional bound (Xiao WWW'08): at the SMALLEST shared
+      -- token the suffixes from that position on must still cover the
+      -- required overlap imin = ceil(t/(1+t)*(na+nb)); rows failing it
+      -- can be dropped pre-DISTINCT because every true pair survives
+      -- via its smallest-shared-token row. Cuts the candidate volume
+      -- ~5x at t=0.8, where the plain both-prefix join spilled DuckDB
+      -- past a 47 GB temp volume at sf1.0.
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
-               WHERE 10*a.n >= $tn*b.n AND 10*b.n >= $tn*a.n),
+               WHERE 10*a.n >= $tn*b.n AND 10*b.n >= $tn*a.n
+                 AND 1 + least(a.n - a.pos, b.n - b.pos) >=
+                     ($tn*(a.n + b.n) + ${10 + tn} - 1) // ${10 + tn}),
       v0 AS (SELECT doc_a, doc_b,
                     len(list_intersect(x.s, y.s)) AS i, x.n AS na, y.n AS nb
              FROM cand JOIN sets x ON x.doc_id = doc_a
