@@ -53,16 +53,6 @@ object Verify {
     (SparkEntry.queries.keys.toSeq.filter(n => "qev".contains(n.head)) ++
       linearExtras.filter(_.startsWith("j"))).sorted
 
-  /** The sf100 SPOT board (R14.16): the classes most likely to break
-    * only at scale — every exact-integer-rounding site over data-sized
-    * rationals (q33/e04/e20/t04/t09/t14), the exact value-grid median
-    * (q26), the 60-bit XOR fingerprint (v05), decimal pricing (q36),
-    * regression power sums (q44) — plus one anchor per family. Spot,
-    * not board-wide: at the 21 GB fixture the box's disk (not the
-    * operators) binds — q26's first sf100 run died of shuffle spill on
-    * a 69%-full volume. Large-output members (q45-class ordered dumps)
-    * are excluded because the gate's Python-side canonicalization, not
-    * the engine, would dominate. */
   /** The dedup-kernel scale board (r15, verdict ask #1): the pair
     * queries whose ground-truth oracle is quadratic-infeasible above
     * sf0.01 but which carry a [[Q.scaleOracle]] — a complete
@@ -75,12 +65,28 @@ object Verify {
   def dKernelBoard: Seq[String] =
     Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
 
+  /** The sf100 SPOT board (R14.16, widened r15): the classes most
+    * likely to break only at scale — every exact-integer-rounding site
+    * over data-sized rationals (q33/e04/e20/t04/t09/t14), the exact
+    * value-grid median (q26), the 60-bit XOR fingerprint (v05), decimal
+    * pricing (q36), regression power sums (q44) — plus one anchor per
+    * family. r15 adds the families the r14 verdict named absent:
+    * windows with data-sized outputs (q27/q45), the as-of direction
+    * trio + tolerance (e05/e06/e18/e19/e25), and set-ops/distinct
+    * (q13/q14). The r14 large-output exclusion is LIFTED by
+    * tools/bigcheck.py (the canonicalize+hash compare runs engine-side,
+    * R15.4) together with SPARK_GRAFT_NO_COALESCE=1 for the dump. Disk
+    * still binds at the 21 GB fixture — run cells one at a time with
+    * ≥30 GB free (the q26 lesson, R14.19). */
   def sf100SpotBoard: Seq[String] = Seq(
-    "q01_pricing_summary", "q18_small_quantity_revenue",
-    "q26_approx_aggs", "q33_window_ranks", "q36_decimal_pricing",
-    "q44_regression_stats", "e01_hourly_agg", "e03_props_extract",
-    "e04_funnel", "e20_bitmap_retention", "t01_wordcount",
-    "t04_quality_score", "t09_quality_deciles",
+    "q01_pricing_summary", "q13_set_ops", "q14_distinct",
+    "q18_small_quantity_revenue", "q26_approx_aggs",
+    "q27_window_range_frame", "q33_window_ranks", "q36_decimal_pricing",
+    "q44_regression_stats", "q45_running_distinct",
+    "e01_hourly_agg", "e03_props_extract", "e04_funnel",
+    "e05_asof_join", "e06_asof_native", "e18_asof_forward",
+    "e19_asof_nearest", "e25_asof_tolerance", "e20_bitmap_retention",
+    "t01_wordcount", "t04_quality_score", "t09_quality_deciles",
     "t14_quality_deciles_approx", "v05_table_fingerprint",
     "d01_exact_dedup")
 

@@ -1194,7 +1194,12 @@ object DedupOps {
       inputFingerprint(s, dir), threshold)
     val path = pairGraphMemo.getOrElseUpdate(key, {
       val p = graft.core.Materialize.freshScratchPath(s, "pairgraph")
+      // edge endpoints only: every consumer (CC, LPA, triangles, d15)
+      // reads doc_a/doc_b — persisting the r15 icnt/un verify integers
+      // would fatten the 120M-pair sf10 intermediate by ~1.4 GB for
+      // nothing
       prefixFilterPairs(s, dir, threshold)
+        .select("doc_a", "doc_b")
         .write.mode("overwrite").parquet(p)
       p
     })

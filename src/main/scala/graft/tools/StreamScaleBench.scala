@@ -270,8 +270,33 @@ object StreamScaleBench {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val snapBytes = fs.getContentSummary(
         new org.apache.hadoop.fs.Path(s"$base/rollup.parquet")).getLength
+      // view ≡ batch recompute (the EventStreamsSpec equality, run HERE
+      // so the cross-JVM / at-scale cell carries the receipt, not just
+      // state+throughput): arithmetic state exact, sum at 1e-6 rounding
+      // (partial-merge order ≠ scan order under IEEE addition), sketch
+      // compared through its estimate
+      def canonView(df: DataFrame) = df
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("total"), 6).as("total"), col("lo"), col("hi"),
+          expr("hll_sketch_estimate(sk)").as("users"))
+        .collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      val got = canonView(spark.read.parquet(s"$base/rollup.parquet"))
+      val want = canonView(spark.read.parquet(dataDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"), col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
+          min("value").as("lo"), max("value").as("hi"),
+          expr("hll_sketch_agg(user_id, 12)").as("sk")))
+      val viewOk = got == want
       report("rollup", q, s,
-        s""","snapshot_rows":$snapRows,"snapshot_bytes":$snapBytes""")
+        s""","snapshot_rows":$snapRows,"snapshot_bytes":$snapBytes,"view_equals_batch":$viewOk""")
+      if (!viewOk) {
+        System.err.println(s"[streamscale] rollup view != batch recompute: " +
+          s"view-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+        sys.exit(1)
+      }
     }
     spark.stop()
   }
