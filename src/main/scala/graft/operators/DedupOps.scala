@@ -543,11 +543,15 @@ object DedupOps {
     * genuinely cross-ALGORITHM check: LSH banding + hot-bucket routing
     * vs prefix filtering). ⌈t·n⌉ is exact integer arithmetic
     * ((10t)·n + 9) // 10 with 10t integral for the catalog thresholds. */
-  private def replayJaccardOracle(thr: Double): String = {
+  /** The CTE chain shared by every replay oracle: `tp(doc_a, doc_b, i,
+    * u)` is the TRUE Jaccard-≥-thr pair set with its verify integers
+    * (prefix-filter candidates, PPJoin positional bound, exact
+    * list_intersect verify). Consumers append their own tail (pair
+    * listing, CC walk). */
+  private def replayPairCtes(thr: Double): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
-    s"""
-      WITH w AS (
+    s"""w AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
         FROM documents),
@@ -575,11 +579,74 @@ object DedupOps {
                     len(list_intersect(x.s, y.s)) AS i, x.n AS na, y.n AS nb
              FROM cand JOIN sets x ON x.doc_id = doc_a
                        JOIN sets y ON y.doc_id = doc_b),
-      v AS (SELECT doc_a, doc_b, i, na + nb - i AS u FROM v0)
+      v AS (SELECT doc_a, doc_b, i, na + nb - i AS u FROM v0),
+      tp AS (SELECT doc_a, doc_b, i, u FROM v WHERE i * 1.0 / u >= $thr)"""
+  }
+
+  private def replayJaccardOracle(thr: Double): String = s"""
+      WITH ${replayPairCtes(thr)}
       SELECT doc_a, doc_b, ${ExactRound.duck("i", "u", 4)} AS jaccard
-      FROM v
-      WHERE i * 1.0 / u >= $thr
+      FROM tp
       ORDER BY doc_a, doc_b"""
+
+  /** d06's scale oracle: the SAME connected-components walk as its
+    * ground-truth oracle, but over the replay pair set instead of the
+    * quadratic self-join (which is what actually blows up above sf0.01
+    * — the walk itself is ≈ pair-set-sized, since near-dup clusters
+    * are clique-like). */
+  private def replayClustersOracle(thr: Double): String = s"""
+      WITH RECURSIVE ${replayPairCtes(thr)},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM tp
+        UNION ALL
+        SELECT doc_b, doc_a FROM tp),
+      walk(node, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT walk.node, e.dst FROM walk JOIN edges e ON walk.reach = e.src)
+      SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+      FROM walk
+      GROUP BY node
+      ORDER BY doc_id"""
+
+  /** d16's scale oracle: the one-sided containment variant of the
+    * replay — A explodes its rare prefix (same pigeonhole, applied to
+    * I ≥ ⌈t·|A|⌉), B contributes its FULL ranked posting list with the
+    * one-sided positional bound nb − posb + 1 ≥ ⌈t·na⌉ (shared tokens
+    * all sit at-or-after the smallest one in B's rank order too), then
+    * exact verify + the per-doc summary aggregate. */
+  private def replayContainmentSummaryOracle(thr: Double): String = {
+    val tn = math.round(thr * 10).toInt
+    require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
+    s"""
+      WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+        FROM documents),
+      sets AS (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
+      tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
+      df AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      ptok AS (SELECT doc_id, n, t,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
+               FROM tok JOIN df USING (t)),
+      pref AS (SELECT doc_id, n, t, pos FROM ptok
+               WHERE pos <= n - (($tn*n + 9) // 10) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
+               FROM pref a JOIN ptok b ON a.t = b.t AND a.doc_id <> b.doc_id
+               WHERE 10*b.n >= $tn*a.n
+                 AND b.n - b.pos + 1 >= ($tn*a.n + 9) // 10),
+      p AS (SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
+            FROM cand JOIN sets x ON x.doc_id = doc_a
+                      JOIN sets y ON y.doc_id = doc_b),
+      g AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
+                   min(doc_b) AS first_super, max(i) AS mi, max(na) AS mna
+            FROM p
+            WHERE i * 1.0 / na >= $thr
+            GROUP BY doc_a)
+      SELECT doc_id, n_super, first_super,
+             ${ExactRound.duck("mi", "mna", 4)} AS best_containment
+      FROM g
+      ORDER BY doc_id"""
   }
 
   val d02 = Q("d02_minhash_lsh",
@@ -993,7 +1060,8 @@ object DedupOps {
       ORDER BY doc_id"""),
     // Bench headline: the iterative CC over the shared bucketed adjacency
     // is the graph workhorse of the dedup family — track it per round.
-    headline = true)
+    headline = true,
+    scaleOracle = Some(replayClustersOracle(0.9)))
 
   // ---------------------------------------------------------------- d07
   /** EXACT similarity self-join by prefix filtering (the AllPairs /
@@ -1913,7 +1981,8 @@ object DedupOps {
       SELECT doc_id, n_super, first_super,
              ${ExactRound.duck("mi", "mna", 4)} AS best_containment
       FROM g
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    scaleOracle = Some(replayContainmentSummaryOracle(0.9)))
 
   val queries: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16)
