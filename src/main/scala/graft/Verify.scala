@@ -61,7 +61,13 @@ object Verify {
     * every scale). Run with SPARK_GRAFT_SCALE_ORACLES=1 so the dumped
     * oracle_sql.json carries the replay SQL:
     * `SPARK_GRAFT_SCALE_ORACLES=1 tools/run.sh graft.Verify <sfDir> <out>
-    * @d-kernel` + `tools/check.py`. */
+    * @d-kernel` + `tools/check.py`. Feasibility at sf1.0 (measured,
+    * R15.9): d02/d07/d12 replay in minutes and are hash-gated green;
+    * d06 (the recursive CC walk is QUADRATIC in cluster size — hot
+    * template clusters at sf1.0 blew past 2 h / 215 CPU-min in DuckDB)
+    * and d16 (one-sided hot-token candidates) are sf0.01-validated
+    * replay oracles whose sf1.0 run exceeds this box — run them only
+    * with a long budget, or gate their INPUT pair set via d07. */
   def dKernelBoard: Seq[String] =
     Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
 
