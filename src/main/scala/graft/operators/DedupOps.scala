@@ -589,25 +589,50 @@ object DedupOps {
       FROM tp
       ORDER BY doc_a, doc_b"""
 
-  /** d06's scale oracle: the SAME connected-components walk as its
-    * ground-truth oracle, but over the replay pair set instead of the
-    * quadratic self-join (which is what actually blows up above sf0.01
-    * — the walk itself is ≈ pair-set-sized, since near-dup clusters
-    * are clique-like). */
-  private def replayClustersOracle(thr: Double): String = s"""
-      WITH RECURSIVE ${replayPairCtes(thr)},
-      edges AS (
+  /** d06's scale oracle: min-label propagation UNROLLED to a fixed
+    * round budget over the replay pair set (the g04/g05 oracle
+    * discipline). The ground-truth walk CTE is a transitive CLOSURE —
+    * Σ|C|² rows, harmless at sf0.01 but measured blowing past
+    * 2 h / 215 CPU-min in DuckDB at sf1.0's thousand-doc template
+    * clusters (R15.9) — where each propagation round is one LINEAR
+    * edges⋈labels join + a min groupBy. `rounds` must cover the pair
+    * graph's diameter; the final CTE raises `error()` if the last
+    * round still changed any label, so an under-budget run fails LOUD
+    * instead of hash-diverging. */
+  private def replayClustersOracle(thr: Double, rounds: Int = 16): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB 1.0 INLINES plain CTEs,
+    // and each round references the previous one twice (propagate +
+    // convergence check) — unmaterialized, the chain expands 2^rounds
+    // copies of the whole replay pipeline ("Too many open files" was
+    // the first symptom, at 2^16 base scans)
+    val props = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+        SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
+        FROM l${k - 1} n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN l${k - 1} m ON m.node = e.dst
+        GROUP BY n.node, n.lbl)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ${replayPairCtes(thr)},
+      edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM tp
         UNION ALL
         SELECT doc_b, doc_a FROM tp),
-      walk(node, reach) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT walk.node, e.dst FROM walk JOIN edges e ON walk.reach = e.src)
-      SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
-      FROM walk
-      GROUP BY node
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      $props,
+      unconverged AS (
+        SELECT count(*) AS c
+        FROM l$rounds a JOIN l${rounds - 1} b USING (node)
+        WHERE a.lbl <> b.lbl)
+      SELECT node AS doc_id,
+             CASE WHEN (SELECT c FROM unconverged) > 0
+                  THEN CAST(error('CC label propagation not converged in $rounds rounds — raise the budget') AS BIGINT)
+                  ELSE lbl END AS cluster_id
+      FROM l$rounds
       ORDER BY doc_id"""
+  }
 
   /** d16's scale oracle: the one-sided containment variant of the
     * replay — A explodes its rare prefix (same pigeonhole, applied to
