@@ -62,12 +62,15 @@ object Verify {
     * oracle_sql.json carries the replay SQL:
     * `SPARK_GRAFT_SCALE_ORACLES=1 tools/run.sh graft.Verify <sfDir> <out>
     * @d-kernel` + `tools/check.py`. Feasibility at sf1.0 (measured,
-    * R15.9): d02/d07/d12 replay in minutes and are hash-gated green;
-    * d06 (the recursive CC walk is QUADRATIC in cluster size — hot
-    * template clusters at sf1.0 blew past 2 h / 215 CPU-min in DuckDB)
-    * and d16 (one-sided hot-token candidates) are sf0.01-validated
-    * replay oracles whose sf1.0 run exceeds this box — run them only
-    * with a long budget, or gate their INPUT pair set via d07. */
+    * R15.9/R15.10): d02/d07/d12 replay in minutes and are hash-gated
+    * green; d06 is hash-gated green too since R15.10 — its first walk
+    * oracle (a recursive transitive closure, QUADRATIC in cluster
+    * size) blew past 2 h / 215 CPU-min on sf1.0's template clusters,
+    * and swapping the ORACLE's algorithm to unrolled min-label
+    * propagation (linear edges⋈labels join per round, loud
+    * convergence guard) brought the cell home in ~21 min. Only d16
+    * (one-sided hot-token candidates) remained budget-bound after
+    * R15.9 — its r16 retry is ledgered in BASELINE.md. */
   def dKernelBoard: Seq[String] =
     Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
 

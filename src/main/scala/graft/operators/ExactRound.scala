@@ -27,9 +27,12 @@ package graft.operators
   * wrap the arithmetic in a CASE whose out-of-domain branch raises
   * (`raise_error` / `error`) — loud and identical in both engines, one
   * comparison per output row (the rounding sites are aggregate final
-  * projections or pair-stream tails; measured noise). NULL inputs skip
-  * the guard (NULL comparison → the ELSE arithmetic → NULL result),
-  * preserving the null-propagation contract above.
+  * projections or pair-stream tails; measured noise). NULL inputs take
+  * an explicit leading CASE branch to a NULL result — relying on the
+  * comparison's NULL would both mis-fire the guard (p NULL, q <= 0 →
+  * NULL OR TRUE = TRUE raises) and, under Spark's default ANSI mode,
+  * reach a raising `div 0` in the arithmetic — preserving the
+  * null-propagation contract above.
   *
   * Both emitters produce the IDENTICAL arithmetic (integer div/mod, one
   * double division, one addition), so the engines agree bit-for-bit.
@@ -52,7 +55,15 @@ object ExactRound {
     val raise =
       if (div == "div") "raise_error('ExactRound domain: p < 0 or q <= 0')"
       else "error('ExactRound domain: p < 0 or q <= 0')"
-    s"(CASE WHEN ($p) < 0 OR ($q) <= 0 THEN CAST($raise AS DOUBLE) " +
+    // The leading IS NULL branch keeps the NULL-propagation contract
+    // airtight under three-valued logic (r15 ADVICE: with a bare
+    // `p < 0 OR q <= 0`, p NULL with q <= 0 gives NULL OR TRUE = TRUE
+    // and the guard raises on an input the contract says yields NULL)
+    // AND keeps the arithmetic body unevaluated for such rows — under
+    // Spark's default ANSI mode `NULL div 0` in the ELSE branch would
+    // itself raise DIVIDE_BY_ZERO.
+    s"(CASE WHEN ($p) IS NULL OR ($q) IS NULL THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN ($p) < 0 OR ($q) <= 0 THEN CAST($raise AS DOUBLE) " +
       s"ELSE $body END)"
   }
 

@@ -577,7 +577,15 @@ object Relational {
       // COUNT(DISTINCT) ignores NULL keys, while counting distinct ROWS
       // would tally a NULL key as one group (latent only — lineitem
       // keys are non-null — but the guard costs nothing and survives
-      // nullable inputs)
+      // nullable inputs). Remaining latent corner on the same axis
+      // (r15 ADVICE): a returnflag group whose key column is ENTIRELY
+      // NULL vanishes from that dcount leg and the inner joins below
+      // then drop the whole output row, where COUNT(DISTINCT) keeps
+      // the group with count 0 — to also survive that input, left-join
+      // each dcount leg onto li.select(l_returnflag).distinct() with
+      // coalesce(n, 0). Not done here: both key columns are TPC-H
+      // non-null, and the plan-churn on a green sf100 cell isn't worth
+      // an impossible input.
       def dcount(key: String, as: String) =
         li.filter(col(key).isNotNull)
           .select(col("l_returnflag"), col(key)).distinct()

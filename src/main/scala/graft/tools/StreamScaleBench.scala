@@ -272,15 +272,21 @@ object StreamScaleBench {
         new org.apache.hadoop.fs.Path(s"$base/rollup.parquet")).getLength
       // view ≡ batch recompute (the EventStreamsSpec equality, run HERE
       // so the cross-JVM / at-scale cell carries the receipt, not just
-      // state+throughput): arithmetic state exact, sum at 1e-6 rounding
-      // (partial-merge order ≠ scan order under IEEE addition), sketch
-      // compared through its estimate
-      def canonView(df: DataFrame) = df
+      // state+throughput): cnt/lo/hi/users compared exactly; `total`
+      // joined per (event_type, day) key and compared at a RELATIVE
+      // 1e-9 tolerance — incremental-merge vs scan-order IEEE addition
+      // error grows with row count and magnitude, so a fixed-decimal
+      // rounding is a knife edge, not a tolerance (a ~1e8 total drifts
+      // past 1e-6 absolute and the two sides round to different
+      // 6-decimal strings; r15 ADVICE, same class ExactRound closes)
+      def canonView(df: DataFrame): Map[String, (Double, String)] = df
         .select(col("event_type"), col("day"), col("cnt"),
-          round(col("total"), 6).as("total"), col("lo"), col("hi"),
+          col("total").cast("double").as("total"), col("lo"), col("hi"),
           expr("hll_sketch_estimate(sk)").as("users"))
         .collect()
-        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        .map(r => s"${r.get(0)}|${r.get(1)}" -> (r.getDouble(3),
+          Seq(2, 4, 5, 6).map(i => String.valueOf(r.get(i))).mkString("|")))
+        .toMap
       val got = canonView(spark.read.parquet(s"$base/rollup.parquet"))
       val want = canonView(spark.read.parquet(dataDir)
         .select(col("event_type"), to_date(col("ts")).as("day"),
@@ -289,12 +295,21 @@ object StreamScaleBench {
         .agg(count(lit(1)).as("cnt"), sum("value").as("total"),
           min("value").as("lo"), max("value").as("hi"),
           expr("hll_sketch_agg(user_id, 12)").as("sk")))
-      val viewOk = got == want
+      val mismatches = (got.keySet ++ want.keySet).toSeq.sorted.flatMap { k =>
+        (got.get(k), want.get(k)) match {
+          case (Some((gt, gx)), Some((wt, wx))) =>
+            val totOk = math.abs(gt - wt) <= 1e-9 * math.max(1.0, math.abs(wt))
+            if (totOk && gx == wx) None
+            else Some(s"$k: view=($gt,$gx) batch=($wt,$wx)")
+          case (g, w) => Some(s"$k: view=$g batch=$w")
+        }
+      }
+      val viewOk = mismatches.isEmpty
       report("rollup", q, s,
         s""","snapshot_rows":$snapRows,"snapshot_bytes":$snapBytes,"view_equals_batch":$viewOk""")
       if (!viewOk) {
         System.err.println(s"[streamscale] rollup view != batch recompute: " +
-          s"view-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+          s"${mismatches.take(3).mkString("; ")}")
         sys.exit(1)
       }
     }

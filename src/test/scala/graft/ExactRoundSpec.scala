@@ -92,7 +92,8 @@ class ExactRoundSpec extends AnyFunSuite {
     }
     // and the DuckDB emitter carries the equivalent guard text
     assert(ExactRound.duck("p", "q", 4).contains(
-      "CASE WHEN (p) < 0 OR (q) <= 0 THEN CAST(error("))
+      "CASE WHEN (p) IS NULL OR (q) IS NULL THEN CAST(NULL AS DOUBLE) " +
+        "WHEN (p) < 0 OR (q) <= 0 THEN CAST(error("))
     // in-domain rows are untouched by the guard (whole-path sanity)
     assert(viaSpark(29L, 32L, 4)._1 == 0.9063) // the jaccard 4-decimal half
   }
@@ -104,5 +105,13 @@ class ExactRoundSpec extends AnyFunSuite {
         expr(ExactRound.unitMeanSpark("q", "p", 4)).as("u"))
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1))
+    // the three-valued-logic corner (r15 ADVICE): p NULL with q OUT OF
+    // domain must still propagate NULL — a bare `p < 0 OR q <= 0` guard
+    // evaluates NULL OR TRUE = TRUE and raises instead
+    val c = Seq((Option.empty[Long], Some(0L))).toDF("p", "q")
+      .select(expr(ExactRound.spark("p", "q", 4)).as("r"),
+        expr(ExactRound.unitMeanSpark("p", "q", 4)).as("u"))
+      .head()
+    assert(c.isNullAt(0) && c.isNullAt(1))
   }
 }

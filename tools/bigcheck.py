@@ -104,14 +104,27 @@ def main():
             t1 = time.time()
             en, eh = con.execute(digest_sql(exp_ct, oracle_src)).fetchone()
         except ValueError as e:
-            print(f"skip   {name}: {e}"); continue
+            # an unsupported column type is a FAILURE, not a skip — the
+            # docstring's whole point is that an unvalidated type cannot
+            # leave the gate green (r15 ADVICE: a silent skip here let a
+            # cell with an unvalidated type exit 0)
+            print(f"FAIL   {name}: {e}"); n_fail += 1; continue
         t2 = time.time()
         if (gn, gh) == (en, eh):
             print(f"PASS   {name} ({gn} rows; spark-side {t1-t0:.1f}s, "
                   f"oracle {t2-t1:.1f}s)")
             n_pass += 1
         else:
-            print(f"FAIL   {name}: rows {gn} vs {en}, hashsum {gh} vs {eh}")
+            # name-matched columns with DIFFERENT types render differently
+            # under canon_expr (DOUBLE '0.5833' vs DECIMAL '0.583300') —
+            # surface the type pairs so a rendering artifact is
+            # distinguishable from a data bug in the FAIL line
+            gt, et = dict(got_ct), dict(exp_ct)
+            tdiff = [f"{c}: {gt[c]} vs {et[c]}"
+                     for c in sorted(gt) if gt[c] != et.get(c, gt[c])]
+            hint = f" (type mismatch — {'; '.join(tdiff)})" if tdiff else ""
+            print(f"FAIL   {name}: rows {gn} vs {en}, "
+                  f"hashsum {gh} vs {eh}{hint}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
