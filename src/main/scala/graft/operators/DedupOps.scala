@@ -547,8 +547,15 @@ object DedupOps {
     * u)` is the TRUE Jaccard-≥-thr pair set with its verify integers
     * (prefix-filter candidates, PPJoin positional bound, exact
     * list_intersect verify). Consumers append their own tail (pair
-    * listing, CC walk). */
-  private def replayPairCtes(thr: Double): String = {
+    * listing, CC walk). `pairPred` restricts WHICH ordered pairs are
+    * enumerated (default: unordered a < b); d10 passes the new×old
+    * restriction — the pigeonhole is per-pair, so any side predicate
+    * preserves completeness as long as the SPARK kernel enumerates the
+    * same pair universe. Token document frequencies always come from
+    * the FULL corpus (both sides of the predicate), matching the
+    * standing-index semantics of the incremental kernel. */
+  private def replayPairCtes(thr: Double,
+      pairPred: String = "a.doc_id < b.doc_id"): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     s"""w AS (
@@ -571,7 +578,7 @@ object DedupOps {
       -- ~5x at t=0.8, where the plain both-prefix join spilled DuckDB
       -- past a 47 GB temp volume at sf1.0.
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+               FROM pref a JOIN pref b ON a.t = b.t AND $pairPred
                WHERE 10*a.n >= $tn*b.n AND 10*b.n >= $tn*a.n
                  AND 1 + least(a.n - a.pos, b.n - b.pos) >=
                      ($tn*(a.n + b.n) + ${10 + tn} - 1) // ${10 + tn}),
@@ -634,17 +641,19 @@ object DedupOps {
       ORDER BY doc_id"""
   }
 
-  /** d16's scale oracle: the one-sided containment variant of the
-    * replay — A explodes its rare prefix (same pigeonhole, applied to
+  /** The one-sided containment CTE chain shared by the d09/d16 replay
+    * oracles — A explodes its rare prefix (same pigeonhole, applied to
     * I ≥ ⌈t·|A|⌉), B contributes its FULL ranked posting list with the
     * one-sided positional bound nb − posb + 1 ≥ ⌈t·na⌉ (shared tokens
     * all sit at-or-after the smallest one in B's rank order too), then
-    * exact verify + the per-doc summary aggregate. */
-  private def replayContainmentSummaryOracle(thr: Double): String = {
+    * the exact verify. `cp(doc_a, doc_b, i, na)` is the TRUE
+    * containment-≥-thr ordered pair set with its verify integers;
+    * consumers append a pair-listing (d09) or per-doc summary (d16)
+    * tail. */
+  private def containmentPairCtes(thr: Double): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
-    s"""
-      WITH w AS (
+    s"""w AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
         FROM documents),
@@ -663,16 +672,29 @@ object DedupOps {
       p AS (SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
             FROM cand JOIN sets x ON x.doc_id = doc_a
                       JOIN sets y ON y.doc_id = doc_b),
+      cp AS (SELECT doc_a, doc_b, i, na FROM p WHERE i * 1.0 / na >= $thr)"""
+  }
+
+  /** d09's scale oracle: the containment pair LISTING over the shared
+    * one-sided replay chain. */
+  private def replayContainmentOracle(thr: Double): String = s"""
+      WITH ${containmentPairCtes(thr)}
+      SELECT doc_a, doc_b, ${ExactRound.duck("i", "na", 4)} AS containment
+      FROM cp
+      ORDER BY doc_a, doc_b"""
+
+  /** d16's scale oracle: the per-doc summary aggregate over the same
+    * chain. */
+  private def replayContainmentSummaryOracle(thr: Double): String = s"""
+      WITH ${containmentPairCtes(thr)},
       g AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
                    min(doc_b) AS first_super, max(i) AS mi, max(na) AS mna
-            FROM p
-            WHERE i * 1.0 / na >= $thr
+            FROM cp
             GROUP BY doc_a)
       SELECT doc_id, n_super, first_super,
              ${ExactRound.duck("mi", "mna", 4)} AS best_containment
       FROM g
       ORDER BY doc_id"""
-  }
 
   val d02 = Q("d02_minhash_lsh",
     (s, dir) =>
@@ -1667,7 +1689,8 @@ object DedupOps {
       SELECT doc_a, doc_b, ${ExactRound.duck("i", "na", 4)} AS containment
       FROM p
       WHERE i * 1.0 / na >= 0.9
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""),
+    scaleOracle = Some(replayContainmentOracle(0.9)))
 
   // ---------------------------------------------------------------- d10
   /** INCREMENTAL near-dup: dedup a NEW batch against the EXISTING corpus
@@ -1726,6 +1749,17 @@ object DedupOps {
       SELECT doc_new, doc_old, ${ExactRound.duck("i", "u", 4)} AS jaccard
       FROM p
       WHERE i * 1.0 / u >= 0.9
+      ORDER BY doc_new, doc_old"""),
+    // the d07 replay skeleton with the pair universe restricted to
+    // new×old — the old×old term the incremental Spark kernel never
+    // generates must be absent from the replay too, and the df/rank
+    // order stays corpus-global (the standing-index semantics)
+    scaleOracle = Some(s"""
+      WITH ${replayPairCtes(0.9,
+        pairPred = "a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7")}
+      SELECT doc_a AS doc_new, doc_b AS doc_old,
+             ${ExactRound.duck("i", "u", 4)} AS jaccard
+      FROM tp
       ORDER BY doc_new, doc_old"""))
 
   // ---------------------------------------------------------------- d11
