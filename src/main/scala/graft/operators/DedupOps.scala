@@ -553,15 +553,21 @@ object DedupOps {
     * preserves completeness as long as the SPARK kernel enumerates the
     * same pair universe. Token document frequencies always come from
     * the FULL corpus (both sides of the predicate), matching the
-    * standing-index semantics of the incremental kernel. */
-  private def replayPairCtes(thr: Double,
-      pairPred: String = "a.doc_id < b.doc_id"): String = {
+    * standing-index semantics of the incremental kernel. `src` swaps
+    * the corpus relation (p01 replays over its filtered `dq` survivors
+    * — the rank order then differs from the full-corpus one, which is
+    * fine: the pigeonhole holds for ANY global token order, and the
+    * verify is exact). private[operators] so PipelineOps can compose
+    * the chain into p01's end-to-end scale oracle. */
+  private[operators] def replayPairCtes(thr: Double,
+      pairPred: String = "a.doc_id < b.doc_id",
+      src: String = "documents"): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     s"""w AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
-        FROM documents),
+        FROM $src),
       sets AS (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
       tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
       df AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
@@ -606,12 +612,16 @@ object DedupOps {
     * graph's diameter; the final CTE raises `error()` if the last
     * round still changed any label, so an under-budget run fails LOUD
     * instead of hash-diverging. */
-  private def replayClustersOracle(thr: Double, rounds: Int = 16): String = {
-    // AS MATERIALIZED is load-bearing: DuckDB 1.0 INLINES plain CTEs,
-    // and each round references the previous one twice (propagate +
-    // convergence check) — unmaterialized, the chain expands 2^rounds
-    // copies of the whole replay pipeline ("Too many open files" was
-    // the first symptom, at 2^16 base scans)
+  /** Unrolled min-label-propagation over an `edges(src, dst)` CTE the
+    * caller defines upstream: `l0 … l<rounds>` plus an `unconverged`
+    * change count between the last two rounds. AS MATERIALIZED is
+    * load-bearing: DuckDB 1.0 INLINES plain CTEs, and each round
+    * references the previous one twice (propagate + convergence check)
+    * — unmaterialized, the chain expands 2^rounds copies of the whole
+    * upstream pipeline ("Too many open files" was the first symptom,
+    * at 2^16 base scans). private[operators] so PipelineOps can
+    * compose the rounds into p01's end-to-end scale oracle. */
+  private[operators] def propagationCtes(rounds: Int): String = {
     val props = (1 to rounds).map { k =>
       s"""l$k AS MATERIALIZED (
         SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
@@ -620,26 +630,28 @@ object DedupOps {
         LEFT JOIN l${k - 1} m ON m.node = e.dst
         GROUP BY n.node, n.lbl)"""
     }.mkString(",\n      ")
-    s"""
-      WITH ${replayPairCtes(thr)},
-      edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM tp
-        UNION ALL
-        SELECT doc_b, doc_a FROM tp),
-      l0 AS MATERIALIZED (
+    s"""l0 AS MATERIALIZED (
         SELECT DISTINCT src AS node, src AS lbl FROM edges),
       $props,
       unconverged AS (
         SELECT count(*) AS c
         FROM l$rounds a JOIN l${rounds - 1} b USING (node)
-        WHERE a.lbl <> b.lbl)
+        WHERE a.lbl <> b.lbl)"""
+  }
+
+  private def replayClustersOracle(thr: Double, rounds: Int = 16): String = s"""
+      WITH ${replayPairCtes(thr)},
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM tp
+        UNION ALL
+        SELECT doc_b, doc_a FROM tp),
+      ${propagationCtes(rounds)}
       SELECT node AS doc_id,
              CASE WHEN (SELECT c FROM unconverged) > 0
                   THEN CAST(error('CC label propagation not converged in $rounds rounds — raise the budget') AS BIGINT)
                   ELSE lbl END AS cluster_id
       FROM l$rounds
       ORDER BY doc_id"""
-  }
 
   /** The one-sided containment CTE chain shared by the d09/d16 replay
     * oracles — A explodes its rare prefix (same pigeonhole, applied to

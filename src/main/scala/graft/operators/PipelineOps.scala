@@ -120,7 +120,54 @@ object PipelineOps {
     // Bench headline: the end-to-end curation pipeline is what the
     // project exists for — regressions here must show in BENCH, not
     // just in TPC-H shapes.
-    headline = true)
+    headline = true,
+    // The composed scale oracle (r15 verdict ask #2): every stage p01
+    // wires is individually sf1.0-hash-gated, but composition itself
+    // could still be wrong at scale — so the replay composes the SAME
+    // independent DuckDB implementations end-to-end: the ground-truth
+    // filter/dedup CTEs (linear), then d07's prefix-filter pair replay
+    // REBASED onto the filtered survivors (`src = "dq"`; df/rank over
+    // the filtered corpus exactly like the Spark kernel's
+    // hashedWordSetsOf(deduped)), then d06's unrolled min-label
+    // propagation with its loud convergence guard folded into the
+    // OUTPUT column (d06's pattern — a guard in an otherwise-unused
+    // 1-row cross-joined CTE gets optimizer-PRUNED and never fires;
+    // measured here with a 2-round budget at sf0.01: 178 unconverged
+    // labels, no error), then the per-lang budget roll-up.
+    scaleOracle = Some(s"""
+      WITH f AS (
+        SELECT doc_id, text, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n_tokens,
+               n_chars
+        FROM documents),
+      q AS (
+        SELECT * FROM f
+        WHERE n_tokens >= 30
+          AND n_chars * 1.0 / n_tokens <= 13.0
+          AND lang IN ('en', 'de', 'es', 'fr')),
+      k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      dq AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      ${DedupOps.replayPairCtes(0.9, src = "dq")},
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM tp
+        UNION ALL
+        SELECT doc_b, doc_a FROM tp),
+      ${DedupOps.propagationCtes(16)},
+      drops AS (SELECT node FROM l16 WHERE lbl < node),
+      kept AS (
+        SELECT dq.* FROM dq
+        WHERE doc_id NOT IN (SELECT node FROM drops))
+      SELECT lang,
+             CASE WHEN (SELECT c FROM unconverged) > 0
+                  THEN CAST(error('p01 CC propagation not converged in 16 rounds — raise the budget') AS BIGINT)
+                  ELSE count(*) END AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             ${ExactRound.duck("sum(n_tokens)", "count(*)", 2)}
+               AS avg_tokens
+      FROM kept
+      GROUP BY lang
+      ORDER BY lang"""))
 
   // ---------------------------------------------------------------- p02
   /** Dataset card — the release artifact every corpus ships with: per
