@@ -59,9 +59,35 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val q01 = results.collectFirst {
       case (n, v) if n.startsWith("q01") => v }.getOrElse(-1.0)
+    val kMin = kernelCanary.min
     val canaries =
-      f""""canaries":{"q01_scan":$q01%.3f,"kernel":${kernelCanary.min}%.3f}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$canaries,"sf":"$sfDir"}""")
+      f""""canaries":{"q01_scan":$q01%.3f,"kernel":$kMin%.3f}"""
+    // Canary-normalized total — the COMPARISON-OF-RECORD per
+    // BASELINE.md's "bench record discipline" (r15 verdict ask #4:
+    // three consecutive rounds of raw-total movement were each
+    // attributed to host regime by manual interleaved A/Bs; the record
+    // itself must stop moving with the weather). Two-factor rule:
+    // scan-shaped rows (q*/t01/e02) divide by the day's q01 drift
+    // against its 0.39 pin, kernel-shaped rows (d02/d06/d07/p01) by
+    // the in-Bench kernel canary against its r13 8.32 pin. Raw total
+    // stays `value` (driver contract) and remains what the per-row
+    // target table reads against.
+    val Q01Pin = 0.39
+    val KernelPin = 8.32
+    val kernelShaped = Set("d02_minhash_lsh", "d06_dedup_clusters",
+      "d07_allpairs_jaccard", "p01_corpus_curation")
+    val normalized =
+      if (q01 <= 0 || kMin <= 0) -1.0
+      else {
+        val dScan = q01 / Q01Pin
+        val dKernel = kMin / KernelPin
+        results.collect { case (n, v) if v >= 0 =>
+          v / (if (kernelShaped(n)) dKernel else dScan)
+        }.sum
+      }
+    val drift =
+      f""""total_normalized":$normalized%.3f,"drift":{"scan":${q01 / Q01Pin}%.3f,"kernel":${kMin / KernelPin}%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$canaries,$drift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -208,6 +208,16 @@ object GraphOps {
                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
       SELECT count(*) AS n_triangles
       FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""),
+    // scale replay (r15 verdict ask #3 playbook): the quadratic pair
+    // CTE swaps for d07's prefix-filter replay; the triangle join tail
+    // is unchanged. e MATERIALIZED: it is referenced three times and a
+    // plain CTE would inline three copies of the replay chain.
+    scaleOracle = Some(s"""
+      WITH ${DedupOps.replayPairCtes(0.9)},
+      e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM tp)
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
   /** Personalized PageRank: power iteration on r = (1−d)·p + d·AᵀDr,
@@ -490,6 +500,35 @@ object GraphOps {
                FROM c2) WHERE rn = 1)
       SELECT node AS doc_id, label AS community
       FROM l2
+      ORDER BY doc_id"""),
+    // scale replay: the 0.7-threshold pair space through the same
+    // prefix-filter chain, LPA rounds unrolled verbatim from the
+    // ground truth. Every intermediate MATERIALIZED — the rounds
+    // reference e and each label frame multiple times, and plain CTEs
+    // would inline a copy of the whole replay chain per reference.
+    scaleOracle = Some(s"""
+      WITH ${DedupOps.replayPairCtes(0.7)},
+      e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM tp
+                         UNION ALL SELECT doc_b, doc_a FROM tp),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+      c1 AS MATERIALIZED (
+        SELECT e.src AS node, l.label, count(*) AS cnt
+        FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+      l1 AS MATERIALIZED (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM c1) WHERE rn = 1),
+      c2 AS MATERIALIZED (
+        SELECT e.src AS node, l.label, count(*) AS cnt
+        FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+      l2 AS MATERIALIZED (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rn
+             FROM c2) WHERE rn = 1)
+      SELECT node AS doc_id, label AS community
+      FROM l2
       ORDER BY doc_id"""))
 
   /** Fixed-round k-core peel: each round computes degrees over the
@@ -558,6 +597,36 @@ object GraphOps {
              GROUP BY 1),
       k3 AS (SELECT node FROM d3 WHERE deg >= 3),
       e3 AS (SELECT e.a, e.b FROM e2 e
+             JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node)
+      SELECT node AS doc_id, count(*) AS core_deg FROM (
+        SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+      GROUP BY 1
+      ORDER BY 1"""),
+    // scale replay: same peel rounds over the replay pair set. Each
+    // shrinking edge frame MATERIALIZED — e_r is referenced three
+    // times by round r+1 (degree count twice via UNION ALL + the
+    // semi-join), so plain CTEs would inline ~3^rounds copies of the
+    // replay chain.
+    scaleOracle = Some(s"""
+      WITH ${DedupOps.replayPairCtes(0.7)},
+      e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM tp),
+      d1 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY 1),
+      k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 3),
+      e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+             JOIN k1 x ON e.a = x.node JOIN k1 y ON e.b = y.node),
+      d2 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+             GROUP BY 1),
+      k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 3),
+      e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+             JOIN k2 x ON e.a = x.node JOIN k2 y ON e.b = y.node),
+      d3 AS (SELECT node, count(*) AS deg FROM (
+               SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+             GROUP BY 1),
+      k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 3),
+      e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
              JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node)
       SELECT node AS doc_id, count(*) AS core_deg FROM (
         SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
