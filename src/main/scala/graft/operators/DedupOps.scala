@@ -661,18 +661,36 @@ object DedupOps {
     * the exact verify. `cp(doc_a, doc_b, i, na)` is the TRUE
     * containment-≥-thr ordered pair set with its verify integers;
     * consumers append a pair-listing (d09) or per-doc summary (d16)
-    * tail. */
+    * tail.
+    *
+    * Tokens are hashed to UBIGINT with DuckDB's OWN `hash()` before
+    * everything (df, ranks, candidates, verify) — the r16 feasibility
+    * port of the Spark kernel's hashed-set discipline. Measured at
+    * sf1.0: the one-sided candidate space is 873M join rows / ~554M
+    * distinct pairs / Σ(na+nb) ≈ 42B verify element-ops, and the
+    * VARCHAR `list_intersect` form blew a 54 GB temp volume before
+    * finishing (R15.9/R16); integer lists verify the same 42B ops in
+    * minutes. Independence is preserved — DuckDB's hash is not Spark's
+    * xxhash64, and the algorithm is exact over hashed-token SETS: a
+    * 64-bit collision anywhere in the ~10⁶-token vocab (p ≈ 1e-7)
+    * would surface as a hash-gate mismatch, not silence. Every shared
+    * frame is MATERIALIZED: the chain is referenced by both verify
+    * sides and the candidate join, and DuckDB 1.0 inlines plain CTEs
+    * per reference. */
   private def containmentPairCtes(thr: Double): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     s"""w AS (
         SELECT doc_id,
-               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+               list_transform(
+                 list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
+                 x -> hash(x)) AS s
         FROM documents),
-      sets AS (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
+      sets AS MATERIALIZED (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
       tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
-      df AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-      ptok AS (SELECT doc_id, n, t,
+      df AS MATERIALIZED (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      ptok AS MATERIALIZED (
+               SELECT doc_id, n, t,
                       row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
                FROM tok JOIN df USING (t)),
       pref AS (SELECT doc_id, n, t, pos FROM ptok

@@ -72,6 +72,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # optional resource caps (r16): a runaway oracle should error loud,
+    # not fill the volume — d16's VARCHAR-verify replay at sf1.0 wrote
+    # >50 GB of temp into the repo's cwd before ENOSPC killed it
+    for env, pragma in [("BIGCHECK_MEMORY_LIMIT", "memory_limit"),
+                        ("BIGCHECK_TEMP_DIR", "temp_directory"),
+                        ("BIGCHECK_MAX_TEMP", "max_temp_directory_size")]:
+        if os.environ.get(env):
+            con.execute(f"SET {pragma}='{os.environ[env]}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):

@@ -58,8 +58,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # optional trailing names restrict the board (bigcheck.py parity).
+    # Silently ignoring them was a footgun: `check.py <sf> <out> s01…`
+    # over a mixed dump directory ground through every OTHER cell's
+    # oracle too (r16: 139 CPU-min in g01's quadratic ground truth at
+    # sf1.0 before anyone noticed).
+    only = set(sys.argv[3:])
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and (not only or d in only))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
