@@ -565,13 +565,21 @@ object DedupOps {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     s"""w AS (
+        -- tokens hashed to UBIGINT with DuckDB's OWN hash() (the r16
+        -- feasibility discipline, see containmentPairCtes: integer
+        -- lists verify ~10x faster than VARCHAR and shrink the
+        -- candidate frames; independence from Spark's xxhash64 and the
+        -- collision argument are documented there)
         SELECT doc_id,
-               list_distinct(list_filter(string_split(text,' '), x -> x <> '')) AS s
+               list_transform(
+                 list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
+                 x -> hash(x)) AS s
         FROM $src),
-      sets AS (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
+      sets AS MATERIALIZED (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
       tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
-      df AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-      ptok AS (SELECT doc_id, n, t,
+      df AS MATERIALIZED (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      ptok AS MATERIALIZED (
+               SELECT doc_id, n, t,
                       row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
                FROM tok JOIN df USING (t)),
       pref AS (SELECT doc_id, n, t, pos FROM ptok
