@@ -685,9 +685,55 @@ object DedupOps {
     * frame is MATERIALIZED: the chain is referenced by both verify
     * sides and the candidate join, and DuckDB 1.0 inlines plain CTEs
     * per reference. */
-  private def containmentPairCtes(thr: Double): String = {
+  private def containmentPairCtes(thr: Double, buckets: Int = 1): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // Bucketing = the oracle-side BUDGET discipline: the monolithic
+    // candidate DISTINCT + verify needed >37 GB of DuckDB temp at
+    // sf1.0 even with hashed tokens (measured against the
+    // max_temp_directory_size cap, r16). Partitioning the A side into
+    // `buckets` disjoint doc_a classes splits the chain into branches
+    // — each DISTINCTs and verifies 1/k of the candidate space over
+    // the SHARED materialized frames — trading one extra pref-scan per
+    // branch (seconds) for a k-fold smaller peak. Disjointness keeps
+    // the union an exact partition of the pair set; d16's GROUP BY
+    // doc_a composes because doc_a buckets never straddle branches.
+    //
+    // The branches must also run SEQUENTIALLY: DuckDB schedules
+    // independent union pipelines concurrently, and 8 concurrent
+    // branches re-aggregated the whole un-bucketed peak (measured:
+    // the 8-way independent form still offloaded past a 42 GB temp
+    // cap, while one branch alone runs in 484 s with ZERO spill). So
+    // each branch's candidate filter consumes a scalar aggregate of
+    // the PREVIOUS branch's MATERIALIZED result — always-true
+    // (count(*) >= 0), semantically inert, but an explicit dependency
+    // edge the scheduler cannot reorder away. Peak = one branch +
+    // the k materialized pair outputs (~32 B/row).
+    def branch(i: Int): String = {
+      val bucketPred =
+        if (buckets == 1) "" else s" AND a.doc_id % $buckets = $i"
+      val chainPred =
+        if (i == 0) ""
+        else s" AND (SELECT count(*) FROM p_${i - 1}) >= 0"
+      s"""cand_$i AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
+               FROM pref a JOIN ptok b ON a.t = b.t AND a.doc_id <> b.doc_id$bucketPred$chainPred
+               WHERE 10*b.n >= $tn*a.n
+                 AND b.n - b.pos + 1 >= ($tn*a.n + 9) // 10),
+      p_$i AS MATERIALIZED (
+            -- threshold filter INSIDE the materialized branch: what is
+            -- held across branches is the true-pair subset (~32 B/row),
+            -- not the full candidate verify stream
+            SELECT doc_a, doc_b, i, na FROM (
+              SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
+              FROM cand_$i JOIN sets x ON x.doc_id = doc_a
+                           JOIN sets y ON y.doc_id = doc_b)
+            WHERE i * 1.0 / na >= $thr)"""
+    }
+    val branches = (0 until buckets).map(branch).mkString(",\n      ")
+    val union = (0 until buckets)
+      .map(i => s"SELECT doc_a, doc_b, i, na FROM p_$i")
+      .mkString("\n        UNION ALL\n        ")
     s"""w AS (
         SELECT doc_id,
                list_transform(
@@ -701,30 +747,27 @@ object DedupOps {
                SELECT doc_id, n, t,
                       row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
                FROM tok JOIN df USING (t)),
-      pref AS (SELECT doc_id, n, t, pos FROM ptok
+      pref AS MATERIALIZED (
+               SELECT doc_id, n, t, pos FROM ptok
                WHERE pos <= n - (($tn*n + 9) // 10) + 1),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
-               FROM pref a JOIN ptok b ON a.t = b.t AND a.doc_id <> b.doc_id
-               WHERE 10*b.n >= $tn*a.n
-                 AND b.n - b.pos + 1 >= ($tn*a.n + 9) // 10),
-      p AS (SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
-            FROM cand JOIN sets x ON x.doc_id = doc_a
-                      JOIN sets y ON y.doc_id = doc_b),
-      cp AS (SELECT doc_a, doc_b, i, na FROM p WHERE i * 1.0 / na >= $thr)"""
+      $branches,
+      cp AS (
+        $union)"""
   }
 
   /** d09's scale oracle: the containment pair LISTING over the shared
-    * one-sided replay chain. */
+    * one-sided replay chain. 8 buckets: measured peak temp at sf1.0 is
+    * >37 GB monolithic, ~1/k per disjoint branch. */
   private def replayContainmentOracle(thr: Double): String = s"""
-      WITH ${containmentPairCtes(thr)}
+      WITH ${containmentPairCtes(thr, buckets = 8)}
       SELECT doc_a, doc_b, ${ExactRound.duck("i", "na", 4)} AS containment
       FROM cp
       ORDER BY doc_a, doc_b"""
 
   /** d16's scale oracle: the per-doc summary aggregate over the same
-    * chain. */
+    * chain (same 8-bucket budget as d09). */
   private def replayContainmentSummaryOracle(thr: Double): String = s"""
-      WITH ${containmentPairCtes(thr)},
+      WITH ${containmentPairCtes(thr, buckets = 8)},
       g AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
                    min(doc_b) AS first_super, max(i) AS mi, max(na) AS mna
             FROM cp
