@@ -566,7 +566,7 @@ object DedupOps {
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     s"""w AS (
         -- tokens hashed to UBIGINT with DuckDB's OWN hash() (the r16
-        -- feasibility discipline, see containmentPairCtes: integer
+        -- feasibility discipline, see containmentStages: integer
         -- lists verify ~10x faster than VARCHAR and shrink the
         -- candidate frames; independence from Spark's xxhash64 and the
         -- collision argument are documented there)
@@ -661,15 +661,16 @@ object DedupOps {
       FROM l$rounds
       ORDER BY doc_id"""
 
-  /** The one-sided containment CTE chain shared by the d09/d16 replay
+  /** The one-sided containment replay shared by the d09/d16 scale
     * oracles — A explodes its rare prefix (same pigeonhole, applied to
     * I ≥ ⌈t·|A|⌉), B contributes its FULL ranked posting list with the
     * one-sided positional bound nb − posb + 1 ≥ ⌈t·na⌉ (shared tokens
     * all sit at-or-after the smallest one in B's rank order too), then
-    * the exact verify. `cp(doc_a, doc_b, i, na)` is the TRUE
-    * containment-≥-thr ordered pair set with its verify integers;
+    * the exact verify. The emitted program fills a
+    * `graft_c<tn>_cp(doc_a, doc_b, i, na)` TEMP TABLE with the TRUE
+    * containment-≥-thr ordered pair set and its verify integers;
     * consumers append a pair-listing (d09) or per-doc summary (d16)
-    * tail.
+    * SELECT as the final stage.
     *
     * Tokens are hashed to UBIGINT with DuckDB's OWN `hash()` before
     * everything (df, ranks, candidates, verify) — the r16 feasibility
@@ -681,101 +682,96 @@ object DedupOps {
     * minutes. Independence is preserved — DuckDB's hash is not Spark's
     * xxhash64, and the algorithm is exact over hashed-token SETS: a
     * 64-bit collision anywhere in the ~10⁶-token vocab (p ≈ 1e-7)
-    * would surface as a hash-gate mismatch, not silence. Every shared
-    * frame is MATERIALIZED: the chain is referenced by both verify
-    * sides and the candidate join, and DuckDB 1.0 inlines plain CTEs
-    * per reference. */
-  private def containmentPairCtes(thr: Double, buckets: Int = 1): String = {
+    * would surface as a hash-gate mismatch, not silence. */
+  private def containmentStages(thr: Double, buckets: Int = 8): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    // Bucketing = the oracle-side BUDGET discipline: the monolithic
-    // candidate DISTINCT + verify needed >37 GB of DuckDB temp at
-    // sf1.0 even with hashed tokens (measured against the
-    // max_temp_directory_size cap, r16). Partitioning the A side into
-    // `buckets` disjoint doc_a classes splits the chain into branches
-    // — each DISTINCTs and verifies 1/k of the candidate space over
-    // the SHARED materialized frames — trading one extra pref-scan per
-    // branch (seconds) for a k-fold smaller peak. Disjointness keeps
-    // the union an exact partition of the pair set; d16's GROUP BY
-    // doc_a composes because doc_a buckets never straddle branches.
-    //
-    // The branches must also run SEQUENTIALLY: DuckDB schedules
-    // independent union pipelines concurrently, and 8 concurrent
-    // branches re-aggregated the whole un-bucketed peak (measured:
-    // the 8-way independent form still offloaded past a 42 GB temp
-    // cap, while one branch alone runs in 484 s with ZERO spill). So
-    // each branch's candidate filter consumes a scalar aggregate of
-    // the PREVIOUS branch's MATERIALIZED result — always-true
-    // (count(*) >= 0), semantically inert, but an explicit dependency
-    // edge the scheduler cannot reorder away. Peak = one branch +
-    // the k materialized pair outputs (~32 B/row).
+    // Bucketing + STAGING = the oracle-side BUDGET discipline. The
+    // monolithic candidate DISTINCT + verify needed >37 GB of DuckDB
+    // temp at sf1.0 even with hashed tokens, and a single-statement
+    // bucketed UNION ALL was no better (>42 GB): DuckDB schedules one
+    // statement's independent pipelines CONCURRENTLY, so the branches
+    // collectively re-aggregated the un-bucketed peak — and a
+    // scalar-subquery dependency chain did not serialize them either.
+    // One branch alone runs in 484 s with ZERO spill under a 30 GB
+    // limit (measured), so the oracle is emitted as SEQUENTIAL
+    // STATEMENTS separated by the `--graft-stage--` marker that
+    // check.py/bigcheck.py execute one at a time: shared frames into
+    // TEMP TABLEs, then one INSERT per disjoint doc_a bucket (each
+    // DISTINCTs and verifies 1/k of the candidate space), then the
+    // consumer's SELECT. Disjointness keeps the inserts an exact
+    // partition of the pair set; d16's GROUP BY doc_a composes because
+    // doc_a buckets never straddle branches. Temp tables are
+    // thr-tagged and OR REPLACE'd so repeated cells on one connection
+    // stay self-contained.
+    val p = s"graft_c$tn"
     def branch(i: Int): String = {
+      val create =
+        if (i == 0) s"CREATE OR REPLACE TEMP TABLE ${p}_cp AS"
+        else s"INSERT INTO ${p}_cp"
       val bucketPred =
         if (buckets == 1) "" else s" AND a.doc_id % $buckets = $i"
-      val chainPred =
-        if (i == 0) ""
-        else s" AND (SELECT count(*) FROM p_${i - 1}) >= 0"
-      s"""cand_$i AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
-               FROM pref a JOIN ptok b ON a.t = b.t AND a.doc_id <> b.doc_id$bucketPred$chainPred
-               WHERE 10*b.n >= $tn*a.n
-                 AND b.n - b.pos + 1 >= ($tn*a.n + 9) // 10),
-      p_$i AS MATERIALIZED (
-            -- threshold filter INSIDE the materialized branch: what is
-            -- held across branches is the true-pair subset (~32 B/row),
-            -- not the full candidate verify stream
-            SELECT doc_a, doc_b, i, na FROM (
-              SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
-              FROM cand_$i JOIN sets x ON x.doc_id = doc_a
-                           JOIN sets y ON y.doc_id = doc_b)
-            WHERE i * 1.0 / na >= $thr)"""
+      s"""$create
+      SELECT doc_a, doc_b, i, na FROM (
+        SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i, na
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
+              FROM ${p}_pref a JOIN ${p}_ptok b
+                ON a.t = b.t AND a.doc_id <> b.doc_id$bucketPred
+              WHERE 10*b.n >= $tn*a.n
+                AND b.n - b.pos + 1 >= ($tn*a.n + 9) // 10) cand
+        JOIN ${p}_sets x ON x.doc_id = doc_a
+        JOIN ${p}_sets y ON y.doc_id = doc_b)
+      WHERE i * 1.0 / na >= $thr"""
     }
-    val branches = (0 until buckets).map(branch).mkString(",\n      ")
-    val union = (0 until buckets)
-      .map(i => s"SELECT doc_a, doc_b, i, na FROM p_$i")
-      .mkString("\n        UNION ALL\n        ")
-    s"""w AS (
+    (Seq(
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_sets AS
+      SELECT doc_id, s, len(s) AS n FROM (
         SELECT doc_id,
                list_transform(
                  list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
                  x -> hash(x)) AS s
-        FROM documents),
-      sets AS MATERIALIZED (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
-      tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
-      df AS MATERIALIZED (SELECT t, count(*) AS c FROM tok GROUP BY t),
-      ptok AS MATERIALIZED (
-               SELECT doc_id, n, t,
-                      row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
-               FROM tok JOIN df USING (t)),
-      pref AS MATERIALIZED (
-               SELECT doc_id, n, t, pos FROM ptok
-               WHERE pos <= n - (($tn*n + 9) // 10) + 1),
-      $branches,
-      cp AS (
-        $union)"""
+        FROM documents)
+      WHERE len(s) > 0""",
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_ptok AS
+      WITH tok AS (SELECT doc_id, n, unnest(s) AS t FROM ${p}_sets),
+      df AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+      SELECT doc_id, n, t,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
+      FROM tok JOIN df USING (t)""",
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_pref AS
+      SELECT doc_id, n, t, pos FROM ${p}_ptok
+      WHERE pos <= n - (($tn*n + 9) // 10) + 1""") ++
+      (0 until buckets).map(branch))
+      .mkString("\n      --graft-stage--\n      ")
   }
 
-  /** d09's scale oracle: the containment pair LISTING over the shared
-    * one-sided replay chain. 8 buckets: measured peak temp at sf1.0 is
-    * >37 GB monolithic, ~1/k per disjoint branch. */
-  private def replayContainmentOracle(thr: Double): String = s"""
-      WITH ${containmentPairCtes(thr, buckets = 8)}
+  /** d09's scale oracle: the containment pair LISTING over the staged
+    * one-sided replay chain (see [[containmentStages]] for the budget
+    * discipline). */
+  private def replayContainmentOracle(thr: Double): String = {
+    val tn = math.round(thr * 10).toInt
+    s"""${containmentStages(thr)}
+      --graft-stage--
       SELECT doc_a, doc_b, ${ExactRound.duck("i", "na", 4)} AS containment
-      FROM cp
+      FROM graft_c${tn}_cp
       ORDER BY doc_a, doc_b"""
+  }
 
   /** d16's scale oracle: the per-doc summary aggregate over the same
-    * chain (same 8-bucket budget as d09). */
-  private def replayContainmentSummaryOracle(thr: Double): String = s"""
-      WITH ${containmentPairCtes(thr, buckets = 8)},
-      g AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
-                   min(doc_b) AS first_super, max(i) AS mi, max(na) AS mna
-            FROM cp
-            GROUP BY doc_a)
+    * staged chain. */
+  private def replayContainmentSummaryOracle(thr: Double): String = {
+    val tn = math.round(thr * 10).toInt
+    s"""${containmentStages(thr)}
+      --graft-stage--
       SELECT doc_id, n_super, first_super,
              ${ExactRound.duck("mi", "mna", 4)} AS best_containment
-      FROM g
+      FROM (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_super,
+                   min(doc_b) AS first_super, max(i) AS mi, max(na) AS mna
+            FROM graft_c${tn}_cp
+            GROUP BY doc_a)
       ORDER BY doc_id"""
+  }
 
   val d02 = Q("d02_minhash_lsh",
     (s, dir) =>

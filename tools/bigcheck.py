@@ -98,7 +98,15 @@ def main():
         if name not in oracles:
             print(f"skip   {name}: no oracle"); continue
         spark_src = f"'{out_dir}/{name}/*.parquet'"
-        oracle_src = f"({oracles[name]}) oracle_q"
+        # staged oracle (r16): statements separated by --graft-stage--
+        # run SEQUENTIALLY before the final SELECT (temp-table stages
+        # bound peak memory where DuckDB schedules one statement's
+        # independent pipelines concurrently — the d16 sf1.0 lesson)
+        stages = [s for s in oracles[name].split("--graft-stage--")
+                  if s.strip()]
+        for st in stages[:-1]:
+            con.execute(st)
+        oracle_src = f"({stages[-1]}) oracle_q"
         got_ct = describe(con, spark_src)
         exp_ct = describe(con, oracle_src)
         if sorted(c for c, _ in got_ct) != sorted(c for c, _ in exp_ct):

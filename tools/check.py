@@ -83,7 +83,15 @@ def main():
                 n_fail += 1
             continue
         try:
-            exp = con.execute(oracles[name])
+            # staged oracle (r16): statements separated by --graft-stage--
+            # run SEQUENTIALLY (temp-table stages bound peak memory where
+            # DuckDB would schedule one statement's independent pipelines
+            # concurrently); the last statement is the oracle SELECT
+            stages = [s for s in oracles[name].split("--graft-stage--")
+                      if s.strip()]
+            for st in stages[:-1]:
+                con.execute(st)
+            exp = con.execute(stages[-1])
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
         except Exception as e:
