@@ -559,56 +559,79 @@ object DedupOps {
     * fine: the pigeonhole holds for ANY global token order, and the
     * verify is exact). private[operators] so PipelineOps can compose
     * the chain into p01's end-to-end scale oracle. */
-  private[operators] def replayPairCtes(thr: Double,
+  /** Staged form (r16): the chain above, emitted as SEQUENTIAL
+    * `--graft-stage--`-separated statements ending in a
+    * `graft_<tag>_tp(doc_a, doc_b, i, u)` TEMP TABLE — same rationale
+    * and measurements as [[containmentStages]]: one statement's
+    * independent pipelines run concurrently in DuckDB and its
+    * stats-free CTE joins build on the wrong side, so the
+    * single-statement form blew a 40 GB temp cap already on g01's
+    * 0.9-threshold chain at sf1.0 while the staged containment chain
+    * ran the strictly-bigger d16 space in ~10 min. `tag` keeps each
+    * oracle's temp tables self-contained on a shared connection
+    * (different pair predicates / source corpora must never reuse
+    * another cell's frames). Tokens hashed to UBIGINT with DuckDB's
+    * own hash() (independence + collision argument in
+    * [[containmentStages]]); candidates carry the PPJoin positional
+    * bound (Xiao WWW'08): at the SMALLEST shared token the suffixes
+    * from that position must still cover imin = ⌈t/(1+t)·(na+nb)⌉ —
+    * every true pair survives via its smallest-shared-token row. */
+  private[operators] def replayPairStages(thr: Double, tag: String,
       pairPred: String = "a.doc_id < b.doc_id",
-      src: String = "documents"): String = {
+      src: String = "documents",
+      buckets: Int = 8): String = {
     val tn = math.round(thr * 10).toInt
     require(tn / 10.0 == thr, s"replay oracle needs a 1-decimal threshold, got $thr")
-    s"""w AS (
-        -- tokens hashed to UBIGINT with DuckDB's OWN hash() (the r16
-        -- feasibility discipline, see containmentStages: integer
-        -- lists verify ~10x faster than VARCHAR and shrink the
-        -- candidate frames; independence from Spark's xxhash64 and the
-        -- collision argument are documented there)
+    val p = s"graft_$tag"
+    def branch(i: Int): String = {
+      val create =
+        if (i == 0) s"CREATE OR REPLACE TEMP TABLE ${p}_tp AS"
+        else s"INSERT INTO ${p}_tp"
+      val bucketPred =
+        if (buckets == 1) "" else s" AND a.doc_id % $buckets = $i"
+      s"""$create
+      SELECT doc_a, doc_b, i, na + nb - i AS u FROM (
+        SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS i,
+               x.n AS na, y.n AS nb
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM ${p}_pref a JOIN ${p}_pref b
+                ON a.t = b.t AND $pairPred$bucketPred
+              WHERE 10*a.n >= $tn*b.n AND 10*b.n >= $tn*a.n
+                AND 1 + least(a.n - a.pos, b.n - b.pos) >=
+                    ($tn*(a.n + b.n) + ${10 + tn} - 1) // ${10 + tn}) cand
+        JOIN ${p}_sets x ON x.doc_id = doc_a
+        JOIN ${p}_sets y ON y.doc_id = doc_b)
+      WHERE i * 1.0 / (na + nb - i) >= $thr"""
+    }
+    (Seq(
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_sets AS
+      SELECT doc_id, s, len(s) AS n FROM (
         SELECT doc_id,
                list_transform(
                  list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
                  x -> hash(x)) AS s
-        FROM $src),
-      sets AS MATERIALIZED (SELECT doc_id, s, len(s) AS n FROM w WHERE len(s) > 0),
-      tok AS (SELECT doc_id, n, unnest(s) AS t FROM sets),
-      df AS MATERIALIZED (SELECT t, count(*) AS c FROM tok GROUP BY t),
-      ptok AS MATERIALIZED (
-               SELECT doc_id, n, t,
-                      row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
-               FROM tok JOIN df USING (t)),
-      pref AS (SELECT doc_id, n, t, pos FROM ptok
-               WHERE pos <= n - (($tn*n + 9) // 10) + 1),
-      -- PPJoin positional bound (Xiao WWW'08): at the SMALLEST shared
-      -- token the suffixes from that position on must still cover the
-      -- required overlap imin = ceil(t/(1+t)*(na+nb)); rows failing it
-      -- can be dropped pre-DISTINCT because every true pair survives
-      -- via its smallest-shared-token row. Cuts the candidate volume
-      -- ~5x at t=0.8, where the plain both-prefix join spilled DuckDB
-      -- past a 47 GB temp volume at sf1.0.
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM pref a JOIN pref b ON a.t = b.t AND $pairPred
-               WHERE 10*a.n >= $tn*b.n AND 10*b.n >= $tn*a.n
-                 AND 1 + least(a.n - a.pos, b.n - b.pos) >=
-                     ($tn*(a.n + b.n) + ${10 + tn} - 1) // ${10 + tn}),
-      v0 AS (SELECT doc_a, doc_b,
-                    len(list_intersect(x.s, y.s)) AS i, x.n AS na, y.n AS nb
-             FROM cand JOIN sets x ON x.doc_id = doc_a
-                       JOIN sets y ON y.doc_id = doc_b),
-      v AS (SELECT doc_a, doc_b, i, na + nb - i AS u FROM v0),
-      tp AS (SELECT doc_a, doc_b, i, u FROM v WHERE i * 1.0 / u >= $thr)"""
+        FROM $src)
+      WHERE len(s) > 0""",
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_ptok AS
+      WITH tok AS (SELECT doc_id, n, unnest(s) AS t FROM ${p}_sets),
+      df AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+      SELECT doc_id, n, t,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS pos
+      FROM tok JOIN df USING (t)""",
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_pref AS
+      SELECT doc_id, n, t, pos FROM ${p}_ptok
+      WHERE pos <= n - (($tn*n + 9) // 10) + 1""") ++
+      (0 until buckets).map(branch))
+      .mkString("\n      --graft-stage--\n      ")
   }
 
-  private def replayJaccardOracle(thr: Double): String = s"""
-      WITH ${replayPairCtes(thr)}
+  private def replayJaccardOracle(thr: Double, tag: String): String = {
+    s"""${replayPairStages(thr, tag)}
+      --graft-stage--
       SELECT doc_a, doc_b, ${ExactRound.duck("i", "u", 4)} AS jaccard
-      FROM tp
+      FROM graft_${tag}_tp
       ORDER BY doc_a, doc_b"""
+  }
 
   /** d06's scale oracle: min-label propagation UNROLLED to a fixed
     * round budget over the replay pair set (the g04/g05 oracle
@@ -648,11 +671,12 @@ object DedupOps {
   }
 
   private def replayClustersOracle(thr: Double, rounds: Int = 16): String = s"""
-      WITH ${replayPairCtes(thr)},
-      edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM tp
+      ${replayPairStages(thr, "d06")}
+      --graft-stage--
+      WITH edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM graft_d06_tp
         UNION ALL
-        SELECT doc_b, doc_a FROM tp),
+        SELECT doc_b, doc_a FROM graft_d06_tp),
       ${propagationCtes(rounds)}
       SELECT node AS doc_id,
              CASE WHEN (SELECT c FROM unconverged) > 0
@@ -791,7 +815,7 @@ object DedupOps {
         .orderBy("doc_a", "doc_b"),
     Some(quadJaccardOracle(0.9)),
     headline = true,
-    scaleOracle = Some(replayJaccardOracle(0.9)))
+    scaleOracle = Some(replayJaccardOracle(0.9, "d02")))
 
   // ---------------------------------------------------------------- d12
   /** d02 at threshold 0.8 — the query that oracle-exercises
@@ -808,7 +832,7 @@ object DedupOps {
         .materialize // sampling-pass guard (see d02)
         .orderBy("doc_a", "doc_b"),
     Some(quadJaccardOracle(0.8)),
-    scaleOracle = Some(replayJaccardOracle(0.8)))
+    scaleOracle = Some(replayJaccardOracle(0.8, "d12")))
 
   // ---------------------------------------------------------------- d03
   /** SimHash near-dup pairs: 60-bit signature from word hashes, candidate
@@ -1469,7 +1493,7 @@ object DedupOps {
         .orderBy("doc_a", "doc_b"),
     Some(quadJaccardOracle(0.9)),
     headline = true,
-    scaleOracle = Some(replayJaccardOracle(0.9)))
+    scaleOracle = Some(replayJaccardOracle(0.9, "d07")))
 
   // ---------------------------------------------------------------- d08
   /** Benchmark decontamination: find corpus documents sharing ≥3 distinct
@@ -1832,11 +1856,12 @@ object DedupOps {
     // generates must be absent from the replay too, and the df/rank
     // order stays corpus-global (the standing-index semantics)
     scaleOracle = Some(s"""
-      WITH ${replayPairCtes(0.9,
+      ${replayPairStages(0.9, "d10",
         pairPred = "a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7")}
+      --graft-stage--
       SELECT doc_a AS doc_new, doc_b AS doc_old,
              ${ExactRound.duck("i", "u", 4)} AS jaccard
-      FROM tp
+      FROM graft_d10_tp
       ORDER BY doc_new, doc_old"""))
 
   // ---------------------------------------------------------------- d11

@@ -210,12 +210,13 @@ object GraphOps {
       FROM e e1 JOIN e e2 ON e1.b = e2.a
                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""),
     // scale replay (r15 verdict ask #3 playbook): the quadratic pair
-    // CTE swaps for d07's prefix-filter replay; the triangle join tail
-    // is unchanged. e MATERIALIZED: it is referenced three times and a
-    // plain CTE would inline three copies of the replay chain.
+    // CTE swaps for d07's STAGED prefix-filter replay; the triangle
+    // join tail is unchanged, reading the staged temp table (exact
+    // stats, so the wedge join builds on the right side).
     scaleOracle = Some(s"""
-      WITH ${DedupOps.replayPairCtes(0.9)},
-      e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM tp)
+      ${DedupOps.replayPairStages(0.9, "g01")}
+      --graft-stage--
+      WITH e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g01_tp)
       SELECT count(*) AS n_triangles
       FROM e e1 JOIN e e2 ON e1.b = e2.a
                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
@@ -502,14 +503,15 @@ object GraphOps {
       FROM l2
       ORDER BY doc_id"""),
     // scale replay: the 0.7-threshold pair space through the same
-    // prefix-filter chain, LPA rounds unrolled verbatim from the
-    // ground truth. Every intermediate MATERIALIZED — the rounds
+    // STAGED prefix-filter chain, LPA rounds unrolled verbatim from
+    // the ground truth. Every intermediate MATERIALIZED — the rounds
     // reference e and each label frame multiple times, and plain CTEs
-    // would inline a copy of the whole replay chain per reference.
+    // would inline a copy per reference.
     scaleOracle = Some(s"""
-      WITH ${DedupOps.replayPairCtes(0.7)},
-      e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM tp
-                         UNION ALL SELECT doc_b, doc_a FROM tp),
+      ${DedupOps.replayPairStages(0.7, "g04")}
+      --graft-stage--
+      WITH e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM graft_g04_tp
+                         UNION ALL SELECT doc_b, doc_a FROM graft_g04_tp),
       l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
       c1 AS MATERIALIZED (
         SELECT e.src AS node, l.label, count(*) AS cnt
@@ -602,14 +604,14 @@ object GraphOps {
         SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
       GROUP BY 1
       ORDER BY 1"""),
-    // scale replay: same peel rounds over the replay pair set. Each
-    // shrinking edge frame MATERIALIZED — e_r is referenced three
+    // scale replay: same peel rounds over the STAGED replay pair set.
+    // Each shrinking edge frame MATERIALIZED — e_r is referenced three
     // times by round r+1 (degree count twice via UNION ALL + the
-    // semi-join), so plain CTEs would inline ~3^rounds copies of the
-    // replay chain.
+    // semi-join), so plain CTEs would inline ~3^rounds copies.
     scaleOracle = Some(s"""
-      WITH ${DedupOps.replayPairCtes(0.7)},
-      e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM tp),
+      ${DedupOps.replayPairStages(0.7, "g05")}
+      --graft-stage--
+      WITH e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g05_tp),
       d1 AS (SELECT node, count(*) AS deg FROM (
                SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
              GROUP BY 1),

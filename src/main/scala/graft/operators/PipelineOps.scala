@@ -135,6 +135,7 @@ object PipelineOps {
     // measured here with a 2-round budget at sf0.01: 178 unconverged
     // labels, no error), then the per-lang budget roll-up.
     scaleOracle = Some(s"""
+      CREATE OR REPLACE TEMP TABLE graft_p01_dq AS
       WITH f AS (
         SELECT doc_id, text, lang,
                len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -146,17 +147,19 @@ object PipelineOps {
         WHERE n_tokens >= 30
           AND n_chars * 1.0 / n_tokens <= 13.0
           AND lang IN ('en', 'de', 'es', 'fr')),
-      k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-      dq AS (SELECT q.* FROM q JOIN k USING (doc_id)),
-      ${DedupOps.replayPairCtes(0.9, src = "dq")},
-      edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM tp
+      k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
+      SELECT q.* FROM q JOIN k USING (doc_id)
+      --graft-stage--
+      ${DedupOps.replayPairStages(0.9, "p01", src = "graft_p01_dq")}
+      --graft-stage--
+      WITH edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM graft_p01_tp
         UNION ALL
-        SELECT doc_b, doc_a FROM tp),
+        SELECT doc_b, doc_a FROM graft_p01_tp),
       ${DedupOps.propagationCtes(16)},
       drops AS (SELECT node FROM l16 WHERE lbl < node),
       kept AS (
-        SELECT dq.* FROM dq
+        SELECT dq.* FROM graft_p01_dq dq
         WHERE doc_id NOT IN (SELECT node FROM drops))
       SELECT lang,
              CASE WHEN (SELECT c FROM unconverged) > 0
