@@ -210,16 +210,23 @@ object GraphOps {
       FROM e e1 JOIN e e2 ON e1.b = e2.a
                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""),
     // scale replay (r15 verdict ask #3 playbook): the quadratic pair
-    // CTE swaps for d07's STAGED prefix-filter replay; the triangle
-    // join tail is unchanged, reading the staged temp table (exact
-    // stats, so the wedge join builds on the right side).
+    // CTE swaps for d07's STAGED prefix-filter replay. The tail is the
+    // ADJACENCY-INTERSECT triangle count (the Spark kernel's own
+    // shape), not the ground truth's 3-way wedge join: sf1.0's
+    // template clusters are ~thousand-doc CLIQUES, so the wedge
+    // intermediate is Σ n³/6 ≈ 10⁹ rows and DuckDB materialized it as
+    // a build side (blew a 42 GB temp cap, measured r16). Per
+    // canonical edge (a<b), |N⁺(a) ∩ N⁺(b)| counts each triangle
+    // exactly once at its two smallest vertices; builds are node-sized.
     scaleOracle = Some(s"""
       ${DedupOps.replayPairStages(0.9, "g01")}
       --graft-stage--
-      WITH e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g01_tp)
-      SELECT count(*) AS n_triangles
-      FROM e e1 JOIN e e2 ON e1.b = e2.a
-                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+      WITH e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g01_tp),
+      adj AS MATERIALIZED (SELECT a, list(b) AS nb FROM e GROUP BY a)
+      SELECT CAST(coalesce(sum(len(list_intersect(x.nb, y.nb))), 0) AS BIGINT)
+               AS n_triangles
+      FROM e JOIN adj x ON x.a = e.a
+             JOIN adj y ON y.a = e.b"""))
 
   /** Personalized PageRank: power iteration on r = (1−d)·p + d·AᵀDr,
     * where the teleport vector p is uniform over `seeds` instead of all
