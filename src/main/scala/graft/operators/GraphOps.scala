@@ -218,15 +218,24 @@ object GraphOps {
     // a build side (blew a 42 GB temp cap, measured r16). Per
     // canonical edge (a<b), |N⁺(a) ∩ N⁺(b)| counts each triangle
     // exactly once at its two smallest vertices; builds are node-sized.
+    // The tail is ALSO staged: the same aggregate ran 148 s / zero
+    // spill as a plain top-level SELECT but blew the temp cap when
+    // wrapped (digest subquery or CTAS both replan it) — temp tables
+    // with exact stats at every step make the final SELECT immune to
+    // the wrapper's optimizer boundary.
     scaleOracle = Some(s"""
       ${DedupOps.replayPairStages(0.9, "g01")}
       --graft-stage--
-      WITH e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g01_tp),
-      adj AS MATERIALIZED (SELECT a, list(b) AS nb FROM e GROUP BY a)
+      CREATE OR REPLACE TEMP TABLE graft_g01_adj AS
+      SELECT doc_a AS a, list(doc_b) AS nb FROM graft_g01_tp GROUP BY doc_a
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g01_tri AS
       SELECT CAST(coalesce(sum(len(list_intersect(x.nb, y.nb))), 0) AS BIGINT)
                AS n_triangles
-      FROM e JOIN adj x ON x.a = e.a
-             JOIN adj y ON y.a = e.b"""))
+      FROM graft_g01_tp e JOIN graft_g01_adj x ON x.a = e.doc_a
+                          JOIN graft_g01_adj y ON y.a = e.doc_b
+      --graft-stage--
+      SELECT n_triangles FROM graft_g01_tri"""))
 
   /** Personalized PageRank: power iteration on r = (1−d)·p + d·AᵀDr,
     * where the teleport vector p is uniform over `seeds` instead of all
@@ -514,30 +523,40 @@ object GraphOps {
     // the ground truth. Every intermediate MATERIALIZED — the rounds
     // reference e and each label frame multiple times, and plain CTEs
     // would inline a copy per reference.
+    // Rounds staged into temp tables (the g01 tail lesson: exact stats
+    // per step, immune to the digest wrapper's optimizer boundary).
     scaleOracle = Some(s"""
       ${DedupOps.replayPairStages(0.7, "g04")}
       --graft-stage--
-      WITH e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM graft_g04_tp
-                         UNION ALL SELECT doc_b, doc_a FROM graft_g04_tp),
-      l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
-      c1 AS MATERIALIZED (
-        SELECT e.src AS node, l.label, count(*) AS cnt
-        FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
-      l1 AS MATERIALIZED (SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node
-                                       ORDER BY cnt DESC, label) AS rn
-             FROM c1) WHERE rn = 1),
-      c2 AS MATERIALIZED (
-        SELECT e.src AS node, l.label, count(*) AS cnt
-        FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
-      l2 AS MATERIALIZED (SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node
-                                       ORDER BY cnt DESC, label) AS rn
-             FROM c2) WHERE rn = 1)
+      CREATE OR REPLACE TEMP TABLE graft_g04_e AS
+      SELECT doc_a AS src, doc_b AS dst FROM graft_g04_tp
+      UNION ALL SELECT doc_b, doc_a FROM graft_g04_tp
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g04_l1 AS
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM (SELECT e.src AS node, l.label, count(*) AS cnt
+              FROM graft_g04_e e
+              JOIN (SELECT DISTINCT src AS node, src AS label
+                    FROM graft_g04_e) l ON e.dst = l.node
+              GROUP BY 1, 2))
+      WHERE rn = 1
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g04_l2 AS
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM (SELECT e.src AS node, l.label, count(*) AS cnt
+              FROM graft_g04_e e
+              JOIN graft_g04_l1 l ON e.dst = l.node
+              GROUP BY 1, 2))
+      WHERE rn = 1
+      --graft-stage--
       SELECT node AS doc_id, label AS community
-      FROM l2
+      FROM graft_g04_l2
       ORDER BY doc_id"""))
 
   /** Fixed-round k-core peel: each round computes degrees over the
@@ -611,36 +630,39 @@ object GraphOps {
         SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
       GROUP BY 1
       ORDER BY 1"""),
-    // scale replay: same peel rounds over the STAGED replay pair set.
-    // Each shrinking edge frame MATERIALIZED — e_r is referenced three
-    // times by round r+1 (degree count twice via UNION ALL + the
-    // semi-join), so plain CTEs would inline ~3^rounds copies.
-    scaleOracle = Some(s"""
+    // scale replay: same peel rounds over the STAGED replay pair set,
+    // each shrinking edge frame its own temp-table stage (the g01 tail
+    // lesson: exact stats per step, immune to the digest wrapper's
+    // optimizer boundary; also avoids the ~3^rounds plain-CTE inline).
+    scaleOracle = Some({
+      def peel(prev: String, next: String): String = s"""
+      CREATE OR REPLACE TEMP TABLE $next AS
+      SELECT e.a, e.b FROM $prev e
+      JOIN (SELECT node FROM (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+              GROUP BY 1) WHERE deg >= 3) x ON e.a = x.node
+      JOIN (SELECT node FROM (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+              GROUP BY 1) WHERE deg >= 3) y ON e.b = y.node"""
+      s"""
       ${DedupOps.replayPairStages(0.7, "g05")}
       --graft-stage--
-      WITH e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM graft_g05_tp),
-      d1 AS (SELECT node, count(*) AS deg FROM (
-               SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
-             GROUP BY 1),
-      k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 3),
-      e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
-             JOIN k1 x ON e.a = x.node JOIN k1 y ON e.b = y.node),
-      d2 AS (SELECT node, count(*) AS deg FROM (
-               SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
-             GROUP BY 1),
-      k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 3),
-      e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
-             JOIN k2 x ON e.a = x.node JOIN k2 y ON e.b = y.node),
-      d3 AS (SELECT node, count(*) AS deg FROM (
-               SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
-             GROUP BY 1),
-      k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 3),
-      e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
-             JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node)
+      CREATE OR REPLACE TEMP TABLE graft_g05_e0 AS
+      SELECT doc_a AS a, doc_b AS b FROM graft_g05_tp
+      --graft-stage--
+      ${peel("graft_g05_e0", "graft_g05_e1")}
+      --graft-stage--
+      ${peel("graft_g05_e1", "graft_g05_e2")}
+      --graft-stage--
+      ${peel("graft_g05_e2", "graft_g05_e3")}
+      --graft-stage--
       SELECT node AS doc_id, count(*) AS core_deg FROM (
-        SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        SELECT a AS node FROM graft_g05_e3 UNION ALL SELECT b FROM graft_g05_e3)
       GROUP BY 1
-      ORDER BY 1"""))
+      ORDER BY 1"""
+    }))
 
   val queries: Seq[Q] = Seq(g01, g02, g03, g04, g05)
 }

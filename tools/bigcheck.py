@@ -101,12 +101,22 @@ def main():
         # staged oracle (r16): statements separated by --graft-stage--
         # run SEQUENTIALLY before the final SELECT (temp-table stages
         # bound peak memory where DuckDB schedules one statement's
-        # independent pipelines concurrently — the d16 sf1.0 lesson)
+        # independent pipelines concurrently — the d16 sf1.0 lesson).
+        # The final SELECT is ALSO materialized before digesting:
+        # wrapping it as a subquery under the digest aggregate moves
+        # the optimizer boundary and can flip a join's build side onto
+        # a cubic intermediate (g01's tail: 148 s clean standalone,
+        # >18 GB offload wrapped — measured at sf1.0)
         stages = [s for s in oracles[name].split("--graft-stage--")
                   if s.strip()]
-        for st in stages[:-1]:
-            con.execute(st)
-        oracle_src = f"({stages[-1]}) oracle_q"
+        if len(stages) > 1:
+            for st in stages[:-1]:
+                con.execute(st)
+            con.execute("CREATE OR REPLACE TEMP TABLE graft_oracle_result"
+                        f" AS {stages[-1]}")
+            oracle_src = "graft_oracle_result"
+        else:
+            oracle_src = f"({stages[-1]}) oracle_q"
         got_ct = describe(con, spark_src)
         exp_ct = describe(con, oracle_src)
         if sorted(c for c, _ in got_ct) != sorted(c for c, _ in exp_ct):
