@@ -61,16 +61,17 @@ object Verify {
     * every scale). Run with SPARK_GRAFT_SCALE_ORACLES=1 so the dumped
     * oracle_sql.json carries the replay SQL:
     * `SPARK_GRAFT_SCALE_ORACLES=1 tools/run.sh graft.Verify <sfDir> <out>
-    * @d-kernel` + `tools/check.py`. Feasibility at sf1.0 (measured,
-    * R15.9/R15.10): d02/d07/d12 replay in minutes and are hash-gated
-    * green; d06 is hash-gated green too since R15.10 — its first walk
-    * oracle (a recursive transitive closure, QUADRATIC in cluster
-    * size) blew past 2 h / 215 CPU-min on sf1.0's template clusters,
-    * and swapping the ORACLE's algorithm to unrolled min-label
-    * propagation (linear edges⋈labels join per round, loud
-    * convergence guard) brought the cell home in ~21 min. Only d16
-    * (one-sided hot-token candidates) remained budget-bound after
-    * R15.9 — its r16 retry is ledgered in BASELINE.md. */
+    * @d-kernel` + `tools/check.py` or `tools/bigcheck.py`. Since r16
+    * the replay oracles are STAGED programs (hashed-token temp-table
+    * stages separated by `--graft-stage--`, executed sequentially by
+    * both gate tools — single-statement forms let DuckDB run the
+    * bucketed branches concurrently and re-aggregate the whole peak;
+    * BASELINE.md R16.3–R16.5 carry the measurements) and the ENTIRE
+    * board is hash-gated green at sf1.0 in one capped ~15-min bigcheck
+    * session: d02/d07 10.77M pairs, d12 42.4M, d06 36k clusters,
+    * d09 146.1M containment pairs, d10 1.8M new×old pairs, d16 50k
+    * summaries, p01's composed end-to-end oracle — plus g01/g04/g05
+    * through the same staged chains. */
   def dKernelBoard: Seq[String] =
     Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
 
