@@ -643,46 +643,65 @@ object DedupOps {
     * graph's diameter; the final CTE raises `error()` if the last
     * round still changed any label, so an under-budget run fails LOUD
     * instead of hash-diverging. */
-  /** Unrolled min-label-propagation over an `edges(src, dst)` CTE the
-    * caller defines upstream: `l0 … l<rounds>` plus an `unconverged`
-    * change count between the last two rounds. AS MATERIALIZED is
-    * load-bearing: DuckDB 1.0 INLINES plain CTEs, and each round
-    * references the previous one twice (propagate + convergence check)
-    * — unmaterialized, the chain expands 2^rounds copies of the whole
-    * upstream pipeline ("Too many open files" was the first symptom,
-    * at 2^16 base scans). private[operators] so PipelineOps can
-    * compose the rounds into p01's end-to-end scale oracle. */
-  private[operators] def propagationCtes(rounds: Int): String = {
+  /** Unrolled min-label-propagation, STAGED (R16.7): each round is its
+    * own `--graft-stage--` statement materializing `graft_<tag>_l<k>`
+    * from `graft_<tag>_l<k-1>` and `graft_<tag>_edges` TEMP TABLEs.
+    * The r15 form unrolled the rounds as AS MATERIALIZED CTEs inside
+    * ONE statement; that fit at sf1.0 but blew bigcheck's 45 GB temp
+    * cap at sf10 (222M symmetrized edges × 16 rounds of join spill
+    * accumulating inside a single CTAS wrapper — the R16.5
+    * wrapper-replan class, measured 42 GB before ENOSPC-by-cap).
+    * Staging gives every round exact temp-table stats (the 5M-row
+    * label side becomes the hash-build side, the 222M-edge probe
+    * streams) and releases each round's spill before the next starts.
+    * The earlier AS MATERIALIZED lesson still applies to anyone
+    * re-inlining these: DuckDB 1.0 inlines plain CTEs and each round
+    * references the previous twice — unmaterialized, the chain expands
+    * 2^rounds base scans ("Too many open files").
+    * private[operators] so PipelineOps can compose the rounds into
+    * p01's end-to-end scale oracle. */
+  private[operators] def propagationStages(rounds: Int, tag: String,
+      tpTable: String): String = {
+    val p = s"graft_$tag"
+    val edges =
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_edges AS
+      SELECT doc_a AS src, doc_b AS dst FROM $tpTable
+      UNION ALL
+      SELECT doc_b, doc_a FROM $tpTable"""
+    val l0 =
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_l0 AS
+      SELECT DISTINCT src AS node, src AS lbl FROM ${p}_edges"""
     val props = (1 to rounds).map { k =>
-      s"""l$k AS MATERIALIZED (
-        SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
-        FROM l${k - 1} n
-        LEFT JOIN edges e ON e.src = n.node
-        LEFT JOIN l${k - 1} m ON m.node = e.dst
-        GROUP BY n.node, n.lbl)"""
-    }.mkString(",\n      ")
-    s"""l0 AS MATERIALIZED (
-        SELECT DISTINCT src AS node, src AS lbl FROM edges),
-      $props,
-      unconverged AS (
-        SELECT count(*) AS c
-        FROM l$rounds a JOIN l${rounds - 1} b USING (node)
-        WHERE a.lbl <> b.lbl)"""
+      s"""CREATE OR REPLACE TEMP TABLE ${p}_l$k AS
+      SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
+      FROM ${p}_l${k - 1} n
+      LEFT JOIN ${p}_edges e ON e.src = n.node
+      LEFT JOIN ${p}_l${k - 1} m ON m.node = e.dst
+      GROUP BY n.node, n.lbl"""
+    }
+    (Seq(edges, l0) ++ props).mkString("\n      --graft-stage--\n      ")
   }
+
+  /** Scalar subquery counting labels that still moved between the last
+    * two staged rounds — the loud under-budget guard. Folded into the
+    * consumer's OUTPUT column (p01 lesson: a guard in an otherwise
+    * unused CTE gets optimizer-pruned and never fires). */
+  private[operators] def propagationUnconverged(rounds: Int,
+      tag: String): String =
+    s"""(SELECT count(*) FROM graft_${tag}_l$rounds a
+           JOIN graft_${tag}_l${rounds - 1} b USING (node)
+           WHERE a.lbl <> b.lbl)"""
 
   private def replayClustersOracle(thr: Double, rounds: Int = 16): String = s"""
       ${replayPairStages(thr, "d06")}
       --graft-stage--
-      WITH edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM graft_d06_tp
-        UNION ALL
-        SELECT doc_b, doc_a FROM graft_d06_tp),
-      ${propagationCtes(rounds)}
+      ${propagationStages(rounds, "d06", "graft_d06_tp")}
+      --graft-stage--
       SELECT node AS doc_id,
-             CASE WHEN (SELECT c FROM unconverged) > 0
+             CASE WHEN ${propagationUnconverged(rounds, "d06")} > 0
                   THEN CAST(error('CC label propagation not converged in $rounds rounds — raise the budget') AS BIGINT)
                   ELSE lbl END AS cluster_id
-      FROM l$rounds
+      FROM graft_d06_l$rounds
       ORDER BY doc_id"""
 
   /** The one-sided containment replay shared by the d09/d16 scale

@@ -128,12 +128,13 @@ object PipelineOps {
     // filter/dedup CTEs (linear), then d07's prefix-filter pair replay
     // REBASED onto the filtered survivors (`src = "dq"`; df/rank over
     // the filtered corpus exactly like the Spark kernel's
-    // hashedWordSetsOf(deduped)), then d06's unrolled min-label
-    // propagation with its loud convergence guard folded into the
-    // OUTPUT column (d06's pattern — a guard in an otherwise-unused
-    // 1-row cross-joined CTE gets optimizer-PRUNED and never fires;
-    // measured here with a 2-round budget at sf0.01: 178 unconverged
-    // labels, no error), then the per-lang budget roll-up.
+    // hashedWordSetsOf(deduped)), then d06's STAGED min-label
+    // propagation (R16.7: one temp-table statement per round) with its
+    // loud convergence guard folded into the OUTPUT column (d06's
+    // pattern — a guard in an otherwise-unused 1-row cross-joined CTE
+    // gets optimizer-PRUNED and never fires; measured here with a
+    // 2-round budget at sf0.01: 178 unconverged labels, no error),
+    // then the per-lang budget roll-up.
     scaleOracle = Some(s"""
       CREATE OR REPLACE TEMP TABLE graft_p01_dq AS
       WITH f AS (
@@ -152,17 +153,14 @@ object PipelineOps {
       --graft-stage--
       ${DedupOps.replayPairStages(0.9, "p01", src = "graft_p01_dq")}
       --graft-stage--
-      WITH edges AS MATERIALIZED (
-        SELECT doc_a AS src, doc_b AS dst FROM graft_p01_tp
-        UNION ALL
-        SELECT doc_b, doc_a FROM graft_p01_tp),
-      ${DedupOps.propagationCtes(16)},
-      drops AS (SELECT node FROM l16 WHERE lbl < node),
+      ${DedupOps.propagationStages(16, "p01", "graft_p01_tp")}
+      --graft-stage--
+      WITH drops AS (SELECT node FROM graft_p01_l16 WHERE lbl < node),
       kept AS (
         SELECT dq.* FROM graft_p01_dq dq
         WHERE doc_id NOT IN (SELECT node FROM drops))
       SELECT lang,
-             CASE WHEN (SELECT c FROM unconverged) > 0
+             CASE WHEN ${DedupOps.propagationUnconverged(16, "p01")} > 0
                   THEN CAST(error('p01 CC propagation not converged in 16 rounds — raise the budget') AS BIGINT)
                   ELSE count(*) END AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
