@@ -658,6 +658,17 @@ object DedupOps {
     * re-inlining these: DuckDB 1.0 inlines plain CTEs and each round
     * references the previous twice — unmaterialized, the chain expands
     * 2^rounds base scans ("Too many open files").
+    *
+    * Each round also POINTER-JUMPS (least with the label's own label,
+    * Shiloach–Vishkin shortcutting): plain neighbor propagation needs
+    * rounds ≥ component diameter, and at sf10 the convergence guard
+    * fired at 16 plain rounds (a replica's perturbed template family
+    * chains longer than sf1.0's did). With the shortcut the label
+    * graph halves its depth every round, so 16 rounds cover diameters
+    * up to 2^16 — correctness unchanged (labels only decrease, stay
+    * node ids of the same component, and any fixpoint is constant per
+    * component at the component min; the under-budget guard still
+    * compares the last two rounds).
     * private[operators] so PipelineOps can compose the rounds into
     * p01's end-to-end scale oracle. */
   private[operators] def propagationStages(rounds: Int, tag: String,
@@ -673,10 +684,13 @@ object DedupOps {
       SELECT DISTINCT src AS node, src AS lbl FROM ${p}_edges"""
     val props = (1 to rounds).map { k =>
       s"""CREATE OR REPLACE TEMP TABLE ${p}_l$k AS
-      SELECT n.node, least(n.lbl, coalesce(min(m.lbl), n.lbl)) AS lbl
+      SELECT n.node, least(n.lbl,
+                           coalesce(min(m.lbl), n.lbl),
+                           coalesce(min(o.lbl), n.lbl)) AS lbl
       FROM ${p}_l${k - 1} n
       LEFT JOIN ${p}_edges e ON e.src = n.node
       LEFT JOIN ${p}_l${k - 1} m ON m.node = e.dst
+      LEFT JOIN ${p}_l${k - 1} o ON o.node = n.lbl
       GROUP BY n.node, n.lbl"""
     }
     (Seq(edges, l0) ++ props).mkString("\n      --graft-stage--\n      ")
