@@ -71,7 +71,14 @@ object Verify {
     * session: d02/d07 10.77M pairs, d12 42.4M, d06 36k clusters,
     * d09 146.1M containment pairs, d10 1.8M new×old pairs, d16 50k
     * summaries, p01's composed end-to-end oracle — plus g01/g04/g05
-    * through the same staged chains. */
+    * through the same staged chains. At sf10 (R16.6/R16.7) the Jaccard
+    * kernels and the flagship composition are gated too: d02/d07
+    * 111.1M pairs, d12 536.5M (t = 0.8), d06 329k clustered docs
+    * (propagation rounds staged per-round AND pointer-jumped — 16
+    * rounds cover diameter 2^16), p01's 4-row roll-up. The containment
+    * trio d09/d10/d16 stays sf1.0-only: on any fixed-vocab fixture its
+    * candidate volume grows ∝ n²/vocab (r13), so an sf10 cell would
+    * measure the fixture, not the operator. */
   def dKernelBoard: Seq[String] =
     Queries.all.filter(_.scaleOracle.isDefined).map(_.name).sorted
 
