@@ -122,6 +122,15 @@ object Verify {
           case n => Seq(n)
         }.toSet)
       else None
+    // A typo'd cell name must fail loud, not silently run an empty
+    // board whose 0-pass check still exits 0 (check.py learned the
+    // same lesson in R16.2; measured again this round with
+    // "t24_token_heavyhitters" quietly gating nothing).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER (e.g. local-cluster[4,8,4096]) routes the board
     // through Session's multi-JVM wiring — the cross-JVM correctness
