@@ -1044,25 +1044,40 @@ object DedupOps {
       LIMIT 20"""))
 
   // ---------------------------------------------------------------- d06
-  /** Connected components by iterative min-label propagation.
+  /** Connected components by iterative min-label propagation WITH
+    * per-round pointer jumping (path shortcutting).
     *
     * `edges` must have two columns (src, dst); the graph is treated as
     * undirected. Returns (node, component) where component = the minimum
     * node id reachable from `node`.
     *
-    * Scale shape: each round is one shuffle (edge⋈label + min-agg on
-    * node) and converges in O(max component diameter) rounds — for dedup
-    * graphs components are near-cliques of duplicates, so diameter is
-    * small and 3-5 rounds settle it. Labels are localCheckpoint-ed per
-    * round to keep lineage bounded (same discipline as
-    * [[graft.examples.PageRank.runUntil]]).
+    * Scale shape: each round is one edge-sized shuffle (edge⋈label +
+    * min-agg on node) followed by a LABEL-sized pointer-jump self-join
+    * (component ← label(component)) — the hop extends each node's view
+    * by one edge, the jump then doubles the label-pointer depth, so
+    * convergence needs O(log diameter) rounds instead of O(diameter)
+    * (r16 measurement, sf0.1 dedup graph of diameter ~7: 8 rounds /
+    * 9.5 s → 5 rounds / 4.2 s for the loop; at sf10 the pair-graph
+    * diameter exceeds 16, where plain propagation burned its whole
+    * budget and restarted on the fallback). The label frame is one row
+    * per node — orders below the adjacency — so the extra jump shuffle
+    * per round is cheap at every scale next to the edge rounds it
+    * eliminates. The FIRST round is fused into label initialization:
+    * labels₀ = min(self, direct neighbors) is one aggregate over the
+    * adjacency (exchange-free on a bucketed `symAdj`), where the old
+    * shape paid a distinct() scan just to seed labels = self. Labels
+    * are localCheckpoint-ed per round to keep lineage bounded (same
+    * discipline as [[graft.examples.PageRank.runUntil]]); the jump
+    * result is materialized separately so the next round's two
+    * consumers (edge join + convergence sum) read blocks, not a
+    * recomputed self-join.
     *
-    * Rounds-budget crossover: a long-diameter component (a CHAIN of
-    * borderline near-dups, a linked log stream) needs O(diameter) rounds
-    * here, so after `crossoverAfter` non-converged rounds the work hands
-    * off to [[connectedComponentsAltStar]], which converges in O(log n)
-    * rounds on any graph — propagation stays the cheap common case, the
-    * doubling algorithm the guarantee. */
+    * Rounds-budget crossover: with jumping, `crossoverAfter` rounds
+    * cover components of diameter ~2^crossoverAfter, so the
+    * [[connectedComponentsAltStar]] fallback is a near-unreachable
+    * safety net rather than the expected path for chain graphs — but it
+    * stays: propagation's convergence argument is empirical per corpus,
+    * the doubling algorithm's is a theorem. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50,
       crossoverAfter: Int = 8, symAdj: Option[DataFrame] = None): DataFrame = {
     // materialize the (usually expensive) edge plan ONCE — without this
@@ -1094,8 +1109,13 @@ object DedupOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .hint("rebalance")
       .materialize)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // fused round 1: min(self, direct neighbors) in one aggregate over
+    // the adjacency — the node set is exactly sym's src side (sym is
+    // symmetrized, so every endpoint appears as src), same as the
+    // distinct() seed this replaces, but the pass does a round's work
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("component"))
       .materialize
     // convergence check: labels are per-node non-increasing, so for
     // NUMERIC node ids the label SUM is strictly decreasing while
@@ -1125,8 +1145,21 @@ object DedupOps {
       // every node also keeps its own label: union(self, neighbor labels)
       val fromNbr = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
-      val next = labels.select("node", "component").union(fromNbr)
+      val hopped = labels.select("node", "component").union(fromNbr)
         .groupBy("node").agg(min("component").as("component"))
+        .materialize
+      // pointer jump: component ← label(component). Every label IS a
+      // node id (min over node ids), so the lookup side is `hopped`
+      // itself; left join + coalesce only guards the isolated-node
+      // degenerate case. Materialized between hop and jump on purpose:
+      // the self-join's two sides would otherwise each re-run the
+      // edge-sized hop (racing parallel stages, the d02 lesson).
+      val parent = hopped.select(
+        col("node").as("p_node"), col("component").as("p_comp"))
+      val next = hopped
+        .join(parent, hopped("component") === parent("p_node"), "left")
+        .select(hopped("node"),
+          coalesce(col("p_comp"), hopped("component")).as("component"))
         .materialize
       if (numericIds) {
         val nextSum = labelSum(next)
@@ -1140,9 +1173,18 @@ object DedupOps {
       labels = next
       round += 1
     }
+    // test observability (DedupCCSpec): rounds the propagation loop ran
+    // when it converged itself, -1 when the alt-star fallback took over
+    // — the pointer-jump's O(log diameter) claim is pinned on this.
+    lastPropagationRounds = if (changed) -1 else round
     if (changed) connectedComponentsAltStar(edges, maxRounds)
     else labels
   }
+
+  /** See [[connectedComponents]]: diagnostic round count of the last
+    * propagation run on this thread's ordering (tests only — benches and
+    * queries never read it). */
+  @volatile private[graft] var lastPropagationRounds: Int = -1
 
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

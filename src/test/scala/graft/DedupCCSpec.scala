@@ -23,12 +23,28 @@ class DedupCCSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L))
   }
 
-  test("connectedComponents crosses over to alt-star past the budget") {
-    // default crossoverAfter = 8 < diameter, so propagation alone would
-    // have thrown pre-crossover; now it must hand off and still be right
+  test("pointer-jump propagation converges a 40-chain inside the budget") {
+    // diameter 39 ≫ crossoverAfter = 8: plain per-round propagation
+    // would hand off to alt-star, but the r16 pointer jump doubles the
+    // label-pointer depth per round, so the loop itself must settle in
+    // ≤ 8 rounds (O(log diameter)) — pinned via the diagnostic counter
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     val got = labels(DedupOps.connectedComponents(chain))
     assert(got == (1L to 40L).map(_ -> 1L).toMap)
+    assert(DedupOps.lastPropagationRounds >= 1 &&
+      DedupOps.lastPropagationRounds <= 8,
+      s"expected propagation (not alt-star fallback) to converge the " +
+        s"40-chain; rounds=${DedupOps.lastPropagationRounds}")
+  }
+
+  test("crossover to alt-star still fires when the budget truly runs out") {
+    // crossoverAfter = 1: one hop+jump round cannot cover diameter 39,
+    // so the fallback must take over and still be right
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = labels(DedupOps.connectedComponents(chain, crossoverAfter = 1))
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+    assert(DedupOps.lastPropagationRounds == -1,
+      "expected the alt-star fallback path")
   }
 
   test("connectedComponents is correct for string node ids") {
