@@ -967,7 +967,10 @@ object DedupOps {
       // gram sets) puts every core on the merge; the build side is
       // broadcast-hinted so the planner cannot flip the streamed side
       // back to the narrow scan.
-      val nPart = s.sessionState.conf.numShufflePartitions
+      // "every core", literally: defaultNumShufflePartitions is the
+      // shuffle.partitions core count; numShufflePartitions under AQE
+      // is the 8×-cores initialPartitionNum (r16 audit)
+      val nPart = s.sessionState.conf.defaultNumShufflePartitions
       val a = grams.select(col("doc_id").as("doc_a"), col("gh").as("ga"),
         col("sz").as("sza")).repartition(nPart)
       val b = broadcast(grams.select(col("doc_id").as("doc_b"),
@@ -1025,7 +1028,7 @@ object DedupOps {
       // side at the scan's file-count width; repartition puts every core
       // on the quadratic cosine scan, broadcast pins the build side
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
+        .repartition(s.sessionState.conf.defaultNumShufflePartitions)
       val b = broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb")))
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
@@ -1349,8 +1352,17 @@ object DedupOps {
     // headline numbers were measured on. The count is a sub-second scan
     // of the just-checkpointed blocks.
     val conf = pref0.sparkSession.sessionState.conf
-    val nPart = math.min(4096L, math.max(conf.numShufflePartitions.toLong,
-      pref0.count() / 10000L)).toInt
+    // defaultNumShufflePartitions = spark.sql.shuffle.partitions (the
+    // documented core-count floor). conf.numShufflePartitions is NOT
+    // that under AQE: it returns coalescePartitions.initialPartitionNum
+    // (8× cores in Session), and an explicit repartition(N) is
+    // AQE-uncoalescible — the r16 audit found the "floor at cores"
+    // clamp silently flooring at 8× cores, freezing 256 near-empty
+    // partitions into the materialized pair frame and every downstream
+    // stage (d07's sort, d06's adjacency write) at bench SF.
+    val nPart = math.min(4096L,
+      math.max(conf.defaultNumShufflePartitions.toLong,
+        pref0.count() / 10000L)).toInt
     // Group-salt the HOT posting lists (StageStats r12: one task ran
     // 361 s of a 415 s sf10 query — a template token's C(df,2)
     // enumeration lands on the single task owning hash(r), and no AQE
@@ -1535,8 +1547,13 @@ object DedupOps {
       val pairs = sharedPairGraph(s, dir, threshold)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val m = pairs.count()
+      // core-count floor via defaultNumShufflePartitions (= the
+      // shuffle.partitions conf), not numShufflePartitions, which under
+      // AQE is the 8×-cores initialPartitionNum — 256 buckets at bench
+      // SF made every CC-round stage 256 near-empty tasks (r16 audit)
       val nBuckets = math.min(4096L, math.max(
-        s.sessionState.conf.numShufflePartitions.toLong, 2 * m / 50000L)).toInt
+        s.sessionState.conf.defaultNumShufflePartitions.toLong,
+        2 * m / 50000L)).toInt
       val sym = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       // pre-shuffle on the bucket key so each task owns whole buckets

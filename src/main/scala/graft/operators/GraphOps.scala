@@ -116,7 +116,10 @@ object GraphOps {
     }
     val conf = edges.sparkSession.sessionState.conf
     val nPart = math.min(4096L,
-      math.max(conf.numShufflePartitions.toLong, m / 50000L)).toInt
+      // core-count floor: defaultNumShufflePartitions IS the
+      // shuffle.partitions conf; numShufflePartitions under AQE is the
+      // 8×-cores initialPartitionNum (r16 audit, see prefixCandidatesOn)
+      math.max(conf.defaultNumShufflePartitions.toLong, m / 50000L)).toInt
     val o = oriented
       .repartition(nPart, col("src")).materialize
     val rankLt = col("x.deg_dst") < col("y.deg_dst") ||
