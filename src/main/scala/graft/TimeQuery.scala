@@ -24,6 +24,21 @@ object TimeQuery {
       spark.sparkContext.addSparkListener(l)
       Some(l)
     } else None
+    // SPARK_GRAFT_JOBCOUNT=1: count scheduled Spark jobs per run — the
+    // direct receipt for "fewer sequential driver actions" claims (r17;
+    // each job pays a fixed driver/AQE scheduling latency that dominates
+    // the d-kernels at bench SF)
+    val jobCounter =
+      if (sys.env.contains("SPARK_GRAFT_JOBCOUNT")) {
+        val c = new java.util.concurrent.atomic.AtomicInteger(0)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              c.incrementAndGet()
+          })
+        Some(c)
+      } else None
     // two-canary bracket: probe box drift BEFORE the timed runs (min-of-3,
     // first sample eats the JIT) and again AFTER (min-of-2, warm JVM) —
     // emitted in this tool's own output so a drifted decade cell can't be
@@ -46,7 +61,8 @@ object TimeQuery {
         else { q.build(spark, dir).write.mode("overwrite").format("noop").save(); -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       val suffix = if (wantCount) f" rows=$rows" else ""
-      println(f"[time] ${q.name} run$i: $secs%.2f s$suffix")
+      val jobs = jobCounter.map(c => s" jobs=${c.getAndSet(0)}").getOrElse("")
+      println(f"[time] ${q.name} run$i: $secs%.2f s$suffix$jobs")
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       q.build(spark, dir).explain("formatted")

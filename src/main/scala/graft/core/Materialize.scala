@@ -3,7 +3,7 @@ package graft.core
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The engine's single intra-query materialization strategy point.
   *
@@ -98,10 +98,47 @@ object Materialize {
     }
   }
 
+  /** Materialize with aggregate metrics riding the SAME action as a
+    * CollectMetrics observation (guide §2.6 — fewer sequential driver
+    * actions): the checkpoint/write tasks already see every row, so a
+    * row-count / byte-estimate / convergence aggregate over the frame
+    * must not pay a second scheduled job plus its fixed driver/AQE
+    * latency (the r16 profile: over half the d-kernel wall at bench SF
+    * is inter-action gaps). Returns the materialized frame plus the
+    * observed metric values keyed by alias. Works in both modes: the
+    * localCheckpoint and the parquet write are each one action over the
+    * observed plan (verified on Spark 4.1.2). */
+  def observed(df: DataFrame, hint: String,
+      metrics: Seq[Column]): (DataFrame, Map[String, Any]) = {
+    require(metrics.nonEmpty, "observed() needs at least one metric")
+    val s = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val withObs = df.observe(obs, metrics.head, metrics.tail: _*)
+    val out = mode(s) match {
+      case "reliable" =>
+        val p = freshScratchPath(s, hint)
+        withObs.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      case _ => withObs.localCheckpoint()
+    }
+    // Env-gated FINAL-plan dump (`SPARK_GRAFT_MAT_EXPLAIN=1`): after the
+    // action, the AdaptiveSparkPlan is final — the only view that shows
+    // runtime ReusedExchange / AQEShuffleRead decisions (plans evidence;
+    // diagnostic only).
+    if (sys.env.contains("SPARK_GRAFT_MAT_EXPLAIN")) {
+      println(s"===== materialize[$hint] executed plan =====")
+      println(withObs.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    (out, obs.get) // the materialize was eager, so get() has its metrics
+  }
+
   /** Postfix syntax so call sites read like the `.localCheckpoint()`
     * they replace: `frame.materialize` / `frame.materialize("bands")`. */
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def materialize: DataFrame = Materialize(df)
     def materializeAs(hint: String): DataFrame = Materialize(df, hint)
+    def materializeObserved(metrics: Column*): (DataFrame, Map[String, Any]) =
+      Materialize.observed(df, "mat", metrics)
   }
 }

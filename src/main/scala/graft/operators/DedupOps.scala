@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Materialize
 import graft.core.Materialize.MatOps
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions.{cosine_similarity, first_common_long, jaccard_similarity, sorted_long_jaccard}
@@ -26,6 +27,19 @@ import org.apache.spark.sql.functions._
   *     scopes and as the oracle for the approximate paths.
   */
 object DedupOps {
+
+  /** Env-gated interior-plan dump (`SPARK_GRAFT_CC_EXPLAIN=1`): the CC
+    * loop's per-round frames live behind `materialize` boundaries, so the
+    * final query explain shows only ExistingRDD scans — this prints the
+    * round's plan BEFORE it is materialized, which is the only view that
+    * shows the Exchange structure the optimization claims are about
+    * (plans/r17 evidence; diagnostic only, never on in bench/verify). */
+  private def ccExplain(tag: String, df: DataFrame): Unit =
+    if (sys.env.contains("SPARK_GRAFT_CC_EXPLAIN")) {
+      println(s"===== cc-interior $tag =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
@@ -188,7 +202,10 @@ object DedupOps {
     // either publishes (measured ~7 s of duplicated stage time at
     // sf0.1). One row × (128 B bhs + the word-hash set) per doc — the
     // same materialization a 100 TB run would park in the LSH index.
-    val perDoc = perDoc0.materialize
+    // The cold-path verify's broadcast-size estimate rides this action
+    // as an observation (guide §2.6; `sets` below is a projection of
+    // this frame, so rows and Σ|hs| are identical).
+    val (perDoc, estM) = Materialize.observed(perDoc0, "perdoc", setsEstMetrics)
     val bands = bandsOf(perDoc.select("doc_id", "bhs"))
     // Hot-bucket bounding: a (band, bh) bucket of B docs would emit ~B²/2
     // joined rows — unbounded on corpora with heavy near-threshold mass
@@ -275,7 +292,7 @@ object DedupOps {
     // exact verify on candidates only, over sorted-long word sets; hot
     // docs' mutual pairs come from the exact kernel (disjoint from the
     // cold set by the both-hot filter above, so a plain union)
-    exactVerify(sets, cand, threshold)
+    exactVerify(sets, cand, threshold, est = Some(estOf(estM)))
       .unionAll(prefixFilterPairsOn(
         sets.join(hotDocs, Seq("doc_id"), "left_semi"), threshold))
   }
@@ -393,11 +410,22 @@ object DedupOps {
   }
   private def widen(df: DataFrame, n: Int, keys: Column*): DataFrame =
     if (ablateExplicitWidth) df else df.repartition(n, keys: _*)
+  /** The [[exactVerify]] broadcast-guard estimate (row count, Σ|hs|) as
+    * observation metrics, to ride a sets-frame materialize action. */
+  private val setsEstMetrics = Seq(count(lit(1)).as("est_n"),
+    coalesce(sum(size(col("hs"))), lit(0L)).as("est_e"))
+  private def estOf(m: Map[String, Any]): (Long, Long) =
+    (m("est_n").asInstanceOf[Long], m("est_e").asInstanceOf[Long])
   private def bcastHot(df: DataFrame): DataFrame =
     if (ablateBroadcastHot) df else broadcast(df)
 
+  /** `est`, when given, is the (row count, Σ|hs|) of `sets`, observed on
+    * the caller's materialize action (guide §2.6) — the broadcast-size
+    * guard below then costs NO scheduled job at all. Every caller has
+    * such a materialize, so the in-function fallback aggregate only runs
+    * for future call sites that cannot provide it. */
   private def exactVerify(sets: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, est: Option[(Long, Long)] = None): DataFrame = {
     // The array attaches are the kernel's byte hog at scale: as SMJs,
     // each ships the full candidate frame again, the second time with a
     // ~1.2 KB array on every row — ≈140 GB shuffled+sorted at sf10's
@@ -429,9 +457,12 @@ object DedupOps {
         }
       })
     val bc = forced.getOrElse {
-      val st = sets.agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("hs"))), lit(0L)).as("e")).head()
-      val estBytes = st.getLong(0) * 48L + st.getLong(1) * 8L
+      val (n, e) = est.getOrElse {
+        val st = sets.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("hs"))), lit(0L)).as("e")).head()
+        (st.getLong(0), st.getLong(1))
+      }
+      val estBytes = n * 48L + e * 8L
       estBytes <= math.min(1500000000L, Runtime.getRuntime.maxMemory / 10)
     }
     val ha0 = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
@@ -1116,10 +1147,6 @@ object DedupOps {
     // the adjacency — the node set is exactly sym's src side (sym is
     // symmetrized, so every endpoint appears as src), same as the
     // distinct() seed this replaces, but the pass does a round's work
-    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("node"),
-        least(col("src"), col("mn")).as("component"))
-      .materialize
     // convergence check: labels are per-node non-increasing, so for
     // NUMERIC node ids the label SUM is strictly decreasing while
     // anything changes — comparing two 1-row aggregates replaces a full
@@ -1130,17 +1157,32 @@ object DedupOps {
     // decimal(38,0) cast, so distinct label changes could leave the sum
     // unchanged — both are silent false convergences. Anything
     // non-integral keeps the type-agnostic join-count check instead.
+    //
+    // The sum rides each round's materialize as a CollectMetrics
+    // observation (guide §2.6) — the checkpoint tasks see every label
+    // row anyway, so a separately scheduled 1-row aggregate job per
+    // round paid pure driver/AQE latency (~the per-round floor at bench
+    // SF; r16 profile).
+    val labelsPlan = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("component"))
     val numericIds = {
       import org.apache.spark.sql.types._
-      labels.schema("component").dataType match {
+      labelsPlan.schema("component").dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
     }
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = if (numericIds) labelSum(labels) else null
+    val sumMetric = coalesce(sum(col("component").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("label_sum")
+    def asDecimal(v: Any): java.math.BigDecimal =
+      new java.math.BigDecimal(v.toString)
+    def materializeSummed(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (numericIds) {
+        val (out, m) = df.materializeObserved(sumMetric)
+        (out, asDecimal(m("label_sum")))
+      } else (df.materialize, null)
+    var (labels, prevSum) = materializeSummed(labelsPlan)
     var changed = true
     var round = 0
     val budget = math.min(maxRounds, crossoverAfter)
@@ -1148,24 +1190,39 @@ object DedupOps {
       // every node also keeps its own label: union(self, neighbor labels)
       val fromNbr = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
+      // The explicit non-null filter is REUSE-load-bearing, not a
+      // semantic guard (node ids are non-null by construction on every
+      // caller's graph; a null endpoint is not a node): the left-outer
+      // jump join infers `isnotnull` on its build side's key and pushes
+      // it below the aggregate — which made the build subtree
+      // canonically DIFFERENT from the probe subtree, so the edge-sized
+      // union shuffle ran twice per round (observed: twin
+      // ShuffleQueryStages with identical statistics). Filtering both
+      // columns on the SHARED plan subsumes the inferred filter via
+      // constraint propagation and restores exchange identity.
       val hopped = labels.select("node", "component").union(fromNbr)
         .groupBy("node").agg(min("component").as("component"))
-        .materialize
+        .filter(col("node").isNotNull && col("component").isNotNull)
       // pointer jump: component ← label(component). Every label IS a
       // node id (min over node ids), so the lookup side is `hopped`
       // itself; left join + coalesce only guards the isolated-node
-      // degenerate case. Materialized between hop and jump on purpose:
-      // the self-join's two sides would otherwise each re-run the
-      // edge-sized hop (racing parallel stages, the d02 lesson).
+      // degenerate case. Hop and jump are ONE plan and ONE action per
+      // round (r17): the self-join's two sides share the hop's
+      // Exchange(node) via ReusedExchange — the edge-sized union +
+      // partial aggregate computes ONCE, only the label-sized final
+      // aggregate runs per side — so the round no longer pays a second
+      // materialize plus its driver/AQE gap (guide §2.4/§2.6; the plan
+      // is pinned by plans/r17/cc_round_interior_after.txt and the
+      // reuse by DedupCCSpec).
       val parent = hopped.select(
         col("node").as("p_node"), col("component").as("p_comp"))
-      val next = hopped
+      val nextPlan = hopped
         .join(parent, hopped("component") === parent("p_node"), "left")
         .select(hopped("node"),
           coalesce(col("p_comp"), hopped("component")).as("component"))
-        .materialize
+      if (round == 0) ccExplain("fused-hop-jump", nextPlan)
+      val (next, nextSum) = materializeSummed(nextPlan)
       if (numericIds) {
-        val nextSum = labelSum(next)
         changed = nextSum.compareTo(prevSum) != 0
         prevSum = nextSum
       } else {
@@ -1338,7 +1395,11 @@ object DedupOps {
     // kernel) runs once per side, in racing parallel stages (measured
     // ~2× the stage time at sf1.0). Eager localCheckpoint, the d02
     // discipline.
-    val pref0 = rarityPrefix(sets, threshold).materialize
+    // the width clamp's row count rides the materialize as an
+    // observation — it was a separately scheduled (if sub-second) job
+    // over the just-checkpointed blocks (guide §2.6)
+    val (pref0, prefM) = Materialize.observed(
+      rarityPrefix(sets, threshold), "pref", Seq(count(lit(1)).as("n")))
     // The explicit-N repartition on the posting-list key is load-bearing
     // (the g01 wedge-apex lesson): the pref frame is only a few MB, so
     // AQE coalesces its exchange by input bytes — but the self-join
@@ -1362,7 +1423,7 @@ object DedupOps {
     // stage (d07's sort, d06's adjacency write) at bench SF.
     val nPart = math.min(4096L,
       math.max(conf.defaultNumShufflePartitions.toLong,
-        pref0.count() / 10000L)).toInt
+        prefM("n").asInstanceOf[Long] / 10000L)).toInt
     // Group-salt the HOT posting lists (StageStats r12: one task ran
     // 361 s of a 415 s sf10 query — a template token's C(df,2)
     // enumeration lands on the single task owning hash(r), and no AQE
@@ -1569,11 +1630,12 @@ object DedupOps {
   private[graft] def prefixFilterPairsOn(sets0: DataFrame,
       threshold: Double): DataFrame = {
     // sets feeds three consumers (prefix build + both verify sides) —
-    // materialize once, the d09/containment discipline; this also makes
-    // exactVerify's broadcast row-count guard a cached-block count
-    // instead of a fourth tokenize scan
-    val sets = sets0.materialize
-    exactVerify(sets, prefixCandidatesOn(sets, threshold), threshold)
+    // materialize once, the d09/containment discipline; exactVerify's
+    // broadcast-size guard rides this action as an observation (was a
+    // separately scheduled aggregate job, guide §2.6)
+    val (sets, m) = Materialize.observed(sets0, "sets", setsEstMetrics)
+    exactVerify(sets, prefixCandidatesOn(sets, threshold), threshold,
+      est = Some(estOf(m)))
   }
 
   val d07 = Q("d07_allpairs_jaccard",
@@ -1903,8 +1965,9 @@ object DedupOps {
   private[graft] def incrementalPairs(sets0: DataFrame, isNew: Column,
       threshold: Double): DataFrame = {
     // same multi-consumer discipline as prefixFilterPairsOn: the frame
-    // feeds the prefix build and both verify sides
-    val sets = sets0.materialize
+    // feeds the prefix build and both verify sides; the verify's
+    // broadcast-size estimate rides the materialize (guide §2.6)
+    val (sets, estM) = Materialize.observed(sets0, "sets", setsEstMetrics)
     val pref = rarityPrefix(sets, threshold)
     // same rank join + positional bound as prefixCandidatesOn (the
     // PPJoin filter transposes unchanged to the new×old direction)
@@ -1918,7 +1981,7 @@ object DedupOps {
           col("y.sz") - col("y.pos")) >= need &&
         first_common_long(col("x.prefr"), col("y.prefr")) === col("r"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    exactVerify(sets, cand, threshold)
+    exactVerify(sets, cand, threshold, est = Some(estOf(estM)))
   }
 
   val d10 = Q("d10_incremental_neardup",
