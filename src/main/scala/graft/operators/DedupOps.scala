@@ -1777,7 +1777,14 @@ object DedupOps {
     * token inside this prefix. The 1e-9 nudge keeps a float ceil from
     * rounding UP on exact multiples (a shorter prefix loses
     * completeness; a longer one only adds candidates the verify culls). */
-  private def rarityPrefix(sets: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, sz, ord) with `ord` the doc's FULL token array sorted by
+    * the global rarity rank — the shared upstream of [[rarityPrefix]]
+    * (which slices the pigeonhole prefix off it) and of the containment
+    * kernel's POSITIONAL posting side (r17: the PPJoin bound needs each
+    * posting row's position in its doc's rarity order, and the ord
+    * array was already being built here for the prefix slice — the
+    * posting side reads it for free instead of a plain explode). */
+  private def rarityOrdered(sets: DataFrame): DataFrame = {
     val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
     // Global token RANK: an order-preserving 64-bit id over the
     // (df asc, h asc) rarity order. `monotonically_increasing_id` after
@@ -1806,6 +1813,10 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("r"), col("h")))).as("ord"),
         first(col("sz")).as("sz"))
+  }
+
+  private def rarityPrefix(sets: DataFrame, threshold: Double): DataFrame =
+    rarityOrdered(sets)
       .withColumn("p", (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
       // the prefix IS the rank-ascending slice — no re-sort needed
       .withColumn("prefr", expr("transform(slice(ord, 1, p), s -> s.r)"))
@@ -1813,7 +1824,6 @@ object DedupOps {
         posexplode(expr("slice(ord, 1, p)")).as(Seq("pos0", "t")))
       .select(col("doc_id"), col("sz"), col("prefr"),
         (col("pos0") + 1).as("pos"), col("t.r").as("r"), col("t.h").as("h"))
-  }
 
   /** Duplicate-free candidate stage of d09 (exposed for the exactly-once
     * spec). A (a, b) pair joins once per token of prefix(a) present in B;
@@ -1832,8 +1842,37 @@ object DedupOps {
 
   private[graft] def containmentCandidatesOn(sets: DataFrame,
       threshold: Double): DataFrame = {
-    val tok = sets.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-    val pref = rarityPrefix(sets, threshold).select("doc_id", "sz", "h")
+    // POSITIONAL posting side (r17, guide §1.2 "the distributed
+    // algorithm"): containment C = |A∩B|/|A| ≥ t admits the PPJoin
+    // bound stated on B's side of the row — on the row of the GLOBALLY
+    // rarest shared token h₀, every shared token sits at-or-after h₀ in
+    // B's rank order, so |A∩B| ≤ 1 + (|B| − pos_B(h₀)), and a true pair
+    // needs |A∩B| ≥ ⌈t·|A|⌉. Completeness: h₀ is rarer than any shared
+    // token, so h₀ ∈ prefix(A) whenever ANY shared token is (pigeonhole
+    // gives one), and the h₀ row's bound is valid (no shared token
+    // precedes it in B) — every true pair keeps ≥ 1 row; rows it kills
+    // are pairs sharing only POPULAR tokens (template filler), which
+    // previously flooded the collapse shuffle and the budgeted verify
+    // (measured at sf0.1: 15.8M candidate pairs / 37.2M join rows for
+    // 79k true pairs pre-bound). The x side's own bound is vacuous (the
+    // prefix length is defined as exactly the suffix that can still
+    // reach ⌈t·|A|⌉), so only B's position is tested. B's positions
+    // come FREE: rarityOrdered already builds each doc's rank-sorted
+    // token array for the prefix slice — the posting side posexplodes
+    // the same materialized array instead of a plain token explode
+    // (one frame, two consumers → eager materialize, the d02 race
+    // discipline).
+    val ordF = rarityOrdered(sets).materializeAs("ord")
+    val pref = ordF
+      .withColumn("p",
+        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(ord, 1, p)")).as("t"))
+      .select(col("doc_id"), col("sz"), col("t.h").as("h"))
+    val tok = ordF
+      .select(col("doc_id"), col("sz"), posexplode(col("ord")).as(Seq("pos0", "t")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
+        col("t.h").as("h"))
     // Group-salt hot posting lists (the R12.13 straggler class: a hot
     // token enumerates prefixDf × df rows in the ONE task owning
     // hash(h)). Roles here are asymmetric, so the salt is simpler than
@@ -1877,7 +1916,12 @@ object DedupOps {
       .join(widen(tokG, wide, col("h"), col("grp")).alias("y"),
         Seq("h", "grp"))
       .filter(col("x.doc_id") =!= col("y.doc_id") &&
-        col("y.sz") >= col("x.sz") * threshold - 1e-9)
+        col("y.sz") >= col("x.sz") * threshold - 1e-9 &&
+        // the PPJoin positional bound (see the ordF comment above):
+        // integer compare, codegen short-circuits before the row
+        // reaches the collapse shuffle
+        lit(1) + col("y.sz") - col("y.pos") >=
+          ceil(col("x.sz") * threshold - 1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .transform(widen(_, wide, col("doc_a"), col("doc_b")))
       .groupBy("doc_a", "doc_b")

@@ -60,6 +60,14 @@ object EventOps {
           count(lit(1)).as("n_events"),
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"))
+        // sampling-pass guard (see d02): there is NO exchange between the
+        // window chain and the final sort — the groupBy reuses the
+        // window's user_id partitioning — so the RangePartitioning
+        // sampling pass re-ran the lag→flag→running-sum chain a second
+        // time. Parking the session aggregate in cheap blocks makes the
+        // sample a re-read (r17; the same guard every heavy pair query
+        // carries).
+        .materialize
         .orderBy("user_id", "session_idx")
     },
     Some("""
