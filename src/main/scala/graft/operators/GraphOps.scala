@@ -263,11 +263,22 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
+    // The edge/degree subtrees repeat once per iteration inside the ONE
+    // final action — AQE exchange reuse dedups them there (verified in
+    // the executed plan), so materializing them would only add an extra
+    // full edge copy; deliberately left as plans. The SEED COUNT is
+    // different: `seeds.count()` was a separately scheduled scan job of
+    // the (for g02/g03 lineitem-scale) seed plan — it now rides a seed
+    // materialize as an observation (r17, guide §2.6), and the teleport
+    // terms re-read the checkpointed seed blocks instead of re-running
+    // the scan+filter per consumer.
     val e = edges.toDF("src", "dst")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val nSeeds = seeds.count()
+    val (seedPages, sm) = graft.core.Materialize.observed(
+      seeds.toDF("page"), "ppr-seeds", Seq(count(lit(1)).as("n")))
+    val nSeeds = sm("n").asInstanceOf[Long]
     require(nSeeds > 0, "personalizedPageRank: empty seed set")
-    val teleport = seeds.toDF("page").distinct()
+    val teleport = seedPages.distinct()
       .withColumn("tp", lit(1.0 / nSeeds))
     var ranks = teleport.select(col("page"), col("tp").as("rank"))
     for (i <- 1 to iterations) {
