@@ -410,6 +410,72 @@ object GraphOps {
         GROUP BY page)
       SELECT page, round(rank, 8) AS rank
       FROM r2
+      ORDER BY rank DESC, page"""),
+    // scale replay (r16 verdict item 5): the SAME unrolled redistribute
+    // iterations, but each round and each dangling-mass scalar staged
+    // into its own temp-table statement (the propagationStages /
+    // R16.5-R16.7 lesson: a monolithic statement's join spill
+    // accumulates inside ONE statement — and bigcheck's digest CTAS
+    // wrapper replans a clean tail past the disk cap; at sf10 the
+    // monolithic form offloaded past a 65 GB temp cap, sys-time bound).
+    // Expressions are verbatim from the ground-truth oracle — same
+    // decimal/double arithmetic, staged only — so the hash gate is the
+    // same comparison.
+    scaleOracle = Some("""
+      CREATE OR REPLACE TEMP TABLE graft_g03_edges AS
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS tgt
+      FROM lineitem
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_deg AS
+      SELECT src, count(*) AS d FROM graft_g03_edges GROUP BY src
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_seeds AS
+      SELECT DISTINCT 's' || l_suppkey AS page FROM lineitem
+      WHERE l_suppkey % 10 = 0
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_ns AS
+      SELECT count(*) AS n FROM graft_g03_seeds
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_r0 AS
+      SELECT page, 1.0 / (SELECT n FROM graft_g03_ns) AS rank
+      FROM graft_g03_seeds
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_dm0 AS
+      SELECT COALESCE(sum(r.rank), 0) AS m
+      FROM graft_g03_r0 r LEFT JOIN graft_g03_deg d ON r.page = d.src
+      WHERE d.src IS NULL
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_r1 AS
+      SELECT page, sum(c) AS rank FROM (
+        SELECT page,
+               (1.0 / (SELECT n FROM graft_g03_ns)) *
+                 (0.15 + 0.85 * (SELECT m FROM graft_g03_dm0)) AS c
+        FROM graft_g03_seeds
+        UNION ALL
+        SELECT e.tgt, 0.85 * r0.rank / d.d
+        FROM graft_g03_edges e JOIN graft_g03_deg d ON e.src = d.src
+                               JOIN graft_g03_r0 r0 ON r0.page = e.src) t
+      GROUP BY page
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_dm1 AS
+      SELECT COALESCE(sum(r.rank), 0) AS m
+      FROM graft_g03_r1 r LEFT JOIN graft_g03_deg d ON r.page = d.src
+      WHERE d.src IS NULL
+      --graft-stage--
+      CREATE OR REPLACE TEMP TABLE graft_g03_r2 AS
+      SELECT page, sum(c) AS rank FROM (
+        SELECT page,
+               (1.0 / (SELECT n FROM graft_g03_ns)) *
+                 (0.15 + 0.85 * (SELECT m FROM graft_g03_dm1)) AS c
+        FROM graft_g03_seeds
+        UNION ALL
+        SELECT e.tgt, 0.85 * r1.rank / d.d
+        FROM graft_g03_edges e JOIN graft_g03_deg d ON e.src = d.src
+                               JOIN graft_g03_r1 r1 ON r1.page = e.src) t
+      GROUP BY page
+      --graft-stage--
+      SELECT page, round(rank, 8) AS rank
+      FROM graft_g03_r2
       ORDER BY rank DESC, page"""))
 
   // ---------------------------------------------------------------- g04
