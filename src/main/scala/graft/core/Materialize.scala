@@ -130,7 +130,13 @@ object Materialize {
       println(withObs.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
-    (out, obs.get) // the materialize was eager, so get() has its metrics
+    if (sys.env.contains("SPARK_GRAFT_OBS_DEBUG")) {
+      val t0 = System.nanoTime()
+      val m = obs.get
+      println(f"[obs-debug] $hint get-wait ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      (out, m)
+    } else
+      (out, obs.get) // the materialize was eager, so get() has its metrics
   }
 
   /** Postfix syntax so call sites read like the `.localCheckpoint()`

@@ -37,6 +37,13 @@ object InteriorPlans {
           DedupOps.sharedPairGraph(spark, dir).select("doc_a", "doc_b"),
           symAdj = Some(DedupOps.sharedAdjacency(spark, dir)))
         cc.write.mode("overwrite").format("noop").save()
+      case "containment" =>
+        val sets = DedupOps.hashedWordSetsOf(Tables.df(spark, dir, "documents"))
+        val cand = DedupOps.containmentCandidatesOn(
+          sets.localCheckpoint(), 0.9)
+        println("===== d09 candidate interior (containmentCandidatesOn) =====")
+        println(cand.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       case other => sys.error(s"unknown dump '$other' (kernel|cc)")
     }
     spark.stop()
